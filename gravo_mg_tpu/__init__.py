@@ -1,0 +1,55 @@
+"""gravo_mg_tpu — TPU-native geometric multigrid (Gravo MG capabilities).
+
+A from-scratch JAX/XLA/Pallas reimplementation of the capabilities of
+Gravo MG ("A Fast Geometric Multigrid Method for Curved Surfaces",
+SIGGRAPH 2023; reference C++ at rubenwiersma/gravo_mg): fast solvers for
+sparse SPD systems on triangle meshes and point clouds via graph-Voronoi
+coarsening hierarchies and smoothed multigrid cycles.
+
+Public API parity with the reference package::
+
+    from gravo_mg_tpu import MultigridSolver, Hierarchy, Sampling, Weighting
+    solver = MultigridSolver(pos, neigh, mass)
+    x = solver.solve(lhs, rhs)
+"""
+
+import os
+
+# Persistent XLA compilation cache: hierarchy builds jit one kernel set per
+# level shape; caching makes repeat runs warm-start.
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gravo_mg_tpu_xla"),
+    )
+
+# x64 mode: the compute path stays f32 (explicit dtypes everywhere), but the
+# Galerkin chain / coarse factor run in f64 to keep near-singular systems
+# (Poisson eta=1e-6) solvable — the reference is all-f64 Eigen.  Opt out
+# with GRAVO_MG_TPU_NO_X64=1.
+if os.environ.get("GRAVO_MG_TPU_NO_X64") != "1":
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+from .enums import CycleType, Hierarchy, Sampling, Smoother, Weighting  # noqa: E402
+from .core import MultigridSolver  # noqa: E402
+from .sparse import EllMatrix, Prolongation, ell_from_scipy, spmv  # noqa: E402
+from .hierarchy.builder import build_hierarchy  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MultigridSolver",
+    "Hierarchy",
+    "Sampling",
+    "Weighting",
+    "CycleType",
+    "Smoother",
+    "EllMatrix",
+    "Prolongation",
+    "ell_from_scipy",
+    "spmv",
+    "build_hierarchy",
+    "__version__",
+]

@@ -1,0 +1,224 @@
+"""Hierarchy construction driver.
+
+Mirrors the per-level pipeline of the reference's ``constructProlongation``
+(`gravomg/src/multigrid_solver.cpp:62-469`): radius from average edge
+length -> coarse sampling -> graph-Voronoi clustering -> coarse graph /
+positions -> prolongation weights -> U_k, looping until ``DoF < lower_bound``
+or ``max_levels``.  Heavy sweeps (sampling rounds, clustering, weights) run
+as jitted JAX kernels; irregular dedup/padding glue runs on the host, once
+per build, producing the static-shape operators the solve path needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enums import Sampling, Weighting
+from ..sparse import Prolongation, make_prolongation
+from ..utils.neighbors import homogenize_edges, neighbors_to_edges
+from .cluster import cluster_labels
+from .prolongation import prolongation_weights
+from .sampling import (
+    farthest_point_sample,
+    parallel_disk_sample,
+    poisson_disk_sample,
+    random_sample,
+)
+
+
+@jax.jit
+def _avg_edge_length(pos, neigh):
+    """Average length of valid (non-padded, non-degenerate) edges.
+
+    Parity: ``computeAverageEdgeLength`` (multigrid_solver.cpp:695-711).
+    """
+    safe = jnp.maximum(neigh, 0)
+    d = jnp.linalg.norm(pos[safe] - pos[:, None, :], axis=-1)
+    ok = (neigh >= 0) & (d > 0)
+    return jnp.sum(jnp.where(ok, d, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+
+
+@dataclasses.dataclass
+class HierarchyLevel:
+    """One coarsening step (level k -> k+1) plus introspection data."""
+
+    U: Prolongation                 # DoF[k] x DoF[k+1]
+    samples: np.ndarray             # fine indices chosen as coarse points
+    labels: np.ndarray              # nearestSource: fine -> coarse cluster
+    coarse_points: np.ndarray       # (DoF[k+1], 3)
+    coarse_neigh: np.ndarray        # (DoF[k+1], Kc) padded -1
+    stats: np.ndarray               # [triangle, edge, fallback] counts
+
+
+@dataclasses.dataclass
+class Hierarchy:
+    """Full multigrid hierarchy for one mesh/point cloud."""
+
+    dof: List[int]
+    levels: List[HierarchyLevel]
+    points: np.ndarray
+    neigh: np.ndarray
+    timing: dict
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def prolongations(self) -> List[Prolongation]:
+        return [lvl.U for lvl in self.levels]
+
+
+def _coarse_graph(labels: np.ndarray, neigh: np.ndarray, nc: int) -> np.ndarray:
+    """Coarse neighbor array: cells c1~c2 iff a fine edge crosses them.
+
+    Parity: multigrid_solver.cpp:177-208 (minus the inert self column).
+    """
+    ii, jj = neighbors_to_edges(neigh)
+    ci = labels[ii].astype(np.int64)
+    cj = labels[jj].astype(np.int64)
+    m = ci != cj
+    keys = np.unique(ci[m] * nc + cj[m])
+    return homogenize_edges(keys // nc, keys % nc, num_nodes=nc)
+
+
+def _coarse_positions(
+    pos: np.ndarray,
+    labels: np.ndarray,
+    samples: np.ndarray,
+    coarse_neigh: np.ndarray,
+    nested: bool,
+) -> np.ndarray:
+    """Voronoi-cell barycenters (or sample positions when nested).
+
+    Parity: multigrid_solver.cpp:214-241 including the singleton-cell rule
+    (average the sample with its neighboring cells' samples).
+    """
+    nc = len(samples)
+    if nested:
+        return pos[samples].copy()
+    sums = np.zeros((nc, 3), dtype=np.float64)
+    np.add.at(sums, labels, pos)
+    sizes = np.bincount(labels, minlength=nc)
+    out = sums / np.maximum(sizes, 1)[:, None]
+    singles = np.nonzero(sizes <= 1)[0]
+    for c in singles:
+        nbrs = coarse_neigh[c]
+        nbrs = nbrs[nbrs >= 0]
+        out[c] = (pos[samples[c]] + pos[samples[nbrs]].sum(axis=0)) / (
+            len(nbrs) + 1.0
+        )
+    return out
+
+
+def build_hierarchy(
+    pos: np.ndarray,
+    neigh: np.ndarray,
+    *,
+    ratio: float = 8.0,
+    lower_bound: int = 1000,
+    max_levels: int = 10,
+    sampling_strategy: int = Sampling.FASTDISK,
+    weighting: int = Weighting.BARYCENTRIC,
+    check_voronoi: bool = True,
+    nested: bool = False,
+    seed: int = 0,
+    verbose: bool = False,
+) -> Hierarchy:
+    """Build the graph-Voronoi multigrid hierarchy."""
+    pos = np.asarray(pos, dtype=np.float64)
+    neigh = np.asarray(neigh, dtype=np.int32)
+    timing = {
+        "sampling": 0.0, "cluster": 0.0, "next_neighborhood": 0.0,
+        "next_positions": 0.0, "triangle_selection": 0.0,
+    }
+    t_total = time.perf_counter()
+
+    dof = [pos.shape[0]]
+    levels: List[HierarchyLevel] = []
+    level_pos, level_neigh = pos, neigh
+    k = 0
+    while dof[k] > lower_bound and k < max_levels:
+        radius = float(np.cbrt(ratio)) * float(
+            _avg_edge_length(
+                jnp.asarray(level_pos, jnp.float32), jnp.asarray(level_neigh)
+            )
+        )
+
+        t0 = time.perf_counter()
+        strat = Sampling(sampling_strategy)
+        if strat == Sampling.FASTDISK:
+            samples, _ = parallel_disk_sample(
+                level_pos, level_neigh, radius, two_ring=True, seed=seed + k
+            )
+        elif strat == Sampling.MIS:
+            samples, _ = parallel_disk_sample(
+                level_pos, level_neigh, radius, two_ring=False, seed=seed + k
+            )
+        elif strat == Sampling.RANDOM:
+            samples = random_sample(dof[k], int(dof[k] / ratio), seed=seed + k)
+        elif strat == Sampling.POISSONDISK:
+            samples = poisson_disk_sample(level_pos, radius, seed=seed + k)
+        elif strat == Sampling.FPS:
+            if k == 0:
+                samples = farthest_point_sample(
+                    level_pos, level_neigh, int(dof[k] / ratio)
+                )
+            else:
+                samples = np.arange(int(dof[k] / ratio), dtype=np.int32)
+        else:
+            raise ValueError(f"unknown sampling strategy {sampling_strategy}")
+        timing["sampling"] += time.perf_counter() - t0
+
+        if len(samples) < lower_bound:
+            break
+        nc = len(samples)
+        dof.append(nc)
+        if verbose:
+            print(f"level {k}: {dof[k]} -> {nc} (radius {radius:.4g})")
+
+        t0 = time.perf_counter()
+        labels, _D = cluster_labels(level_pos, samples, level_neigh)
+        timing["cluster"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        coarse_neigh = _coarse_graph(labels, level_neigh, nc)
+        timing["next_neighborhood"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        coarse_pos = _coarse_positions(
+            level_pos, labels, samples, coarse_neigh, nested
+        )
+        timing["next_positions"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cols, w, stats = prolongation_weights(
+            level_pos, labels, coarse_pos, coarse_neigh,
+            check_voronoi=check_voronoi, nested=nested, samples=samples,
+            weighting=weighting,
+        )
+        timing["triangle_selection"] += time.perf_counter() - t0
+
+        levels.append(
+            HierarchyLevel(
+                U=make_prolongation(cols, w, nc),
+                samples=samples,
+                labels=labels,
+                coarse_points=coarse_pos,
+                coarse_neigh=coarse_neigh,
+                stats=stats,
+            )
+        )
+        level_pos, level_neigh = coarse_pos, coarse_neigh
+        k += 1
+
+    timing["levels"] = float(len(levels))
+    timing["hierarchy"] = (time.perf_counter() - t_total) * 1000.0
+    timing["n_vertices"] = float(pos.shape[0])
+    return Hierarchy(dof, levels, pos, neigh, timing)

@@ -1,0 +1,82 @@
+"""Graph-Voronoi clustering by parallel label propagation.
+
+Replaces the reference's priority-queue multi-source Dijkstra
+(`constructDijkstraWithCluster`, gravomg/src/multigrid_solver.cpp:1015-1056)
+with vectorized Bellman-Ford relaxation: every vertex repeatedly takes the
+minimum of ``D[j] + d(i, j)`` over its neighbors and adopts the label of the
+argmin.  Distances converge to the exact multi-source shortest path in
+O(cluster hop-radius) rounds (~3-6 for the default coarsening ratio), each
+round one gather over the padded neighbor array — ideal for the TPU VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("max_rounds",))
+def _bellman_ford(D0, label0, neigh, dist, max_rounds=64):
+    def cond(carry):
+        _, _, changed, it = carry
+        return changed & (it < max_rounds)
+
+    def body(carry):
+        D, label, _, it = carry
+        safe_nb = jnp.maximum(neigh, 0)
+        cand = jnp.where(neigh >= 0, D[safe_nb] + dist, jnp.inf)  # (N, K)
+        best = jnp.argmin(cand, axis=1)
+        bestD = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        improved = bestD < D
+        nb_label = jnp.take_along_axis(safe_nb, best[:, None], axis=1)[:, 0]
+        newD = jnp.where(improved, bestD, D)
+        newL = jnp.where(improved, label[nb_label], label)
+        return (newD, newL, jnp.any(improved), it + 1)
+
+    D, label, _, rounds = jax.lax.while_loop(
+        cond, body, (D0, label0, jnp.bool_(True), jnp.int32(0))
+    )
+    return D, label, rounds
+
+
+def cluster_labels(
+    pos: np.ndarray,
+    samples: np.ndarray,
+    neigh: np.ndarray,
+    max_rounds: int = 256,
+):
+    """Label every vertex with its nearest sample (graph distance).
+
+    Returns ``(labels, D)`` where labels[i] in [0, len(samples)) and D is
+    the graph distance to the owning sample.  Matches the contract of the
+    reference's ``nearestSource``/``D`` outputs.
+    """
+    n = pos.shape[0]
+    neigh_d = jnp.asarray(neigh, dtype=jnp.int32)
+    pos_d = jnp.asarray(pos, dtype=jnp.float32)
+    safe_nb = jnp.maximum(neigh_d, 0)
+    dist = jnp.linalg.norm(pos_d[safe_nb] - pos_d[:, None, :], axis=-1)
+    dist = jnp.where(neigh_d >= 0, dist, jnp.inf)
+
+    D0 = jnp.full(n, jnp.inf, dtype=jnp.float32)
+    D0 = D0.at[jnp.asarray(samples)].set(0.0)
+    label0 = jnp.zeros(n, dtype=jnp.int32)
+    label0 = label0.at[jnp.asarray(samples)].set(
+        jnp.arange(len(samples), dtype=jnp.int32)
+    )
+    D, label, _ = _bellman_ford(D0, label0, neigh_d, dist, max_rounds=max_rounds)
+    D = np.asarray(D)
+    label = np.asarray(label)
+    unreached = ~np.isfinite(D)
+    if unreached.any():
+        # Disconnected leftovers: assign by Euclidean nearest sample.
+        from scipy.spatial import KDTree
+
+        tree = KDTree(pos[samples])
+        d_euc, owner = tree.query(pos[unreached])
+        label[unreached] = owner
+        D[unreached] = d_euc
+    return label, D

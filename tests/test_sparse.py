@@ -1,0 +1,104 @@
+"""Sparse containers and plans vs scipy references."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gravo_mg_tpu.sparse import (
+    ell_from_scipy,
+    ell_to_dense,
+    make_galerkin_plan,
+    make_prolongation,
+    spmv,
+)
+
+
+def _random_spd(n, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, n, density=density, random_state=rng, format="csr")
+    A = A + A.T + sp.diags(np.full(n, n * density + 1.0))
+    return A.tocsr()
+
+
+def test_ell_roundtrip_and_spmv():
+    A = _random_spd(300)
+    E = ell_from_scipy(A, dtype=jnp.float64)
+    assert abs(E.to_scipy() - A).max() < 1e-12
+    x = np.random.default_rng(1).standard_normal(300)
+    assert np.allclose(np.asarray(spmv(E, jnp.asarray(x))), A @ x, atol=1e-10)
+
+
+def test_spmv_multi_rhs():
+    A = _random_spd(200, seed=2)
+    E = ell_from_scipy(A, dtype=jnp.float64)
+    X = np.random.default_rng(3).standard_normal((200, 3))
+    assert np.allclose(np.asarray(spmv(E, jnp.asarray(X))), A @ X, atol=1e-10)
+
+
+def test_ell_diagonal():
+    A = _random_spd(150, seed=4)
+    E = ell_from_scipy(A, dtype=jnp.float64)
+    assert np.allclose(np.asarray(E.diagonal()), A.diagonal(), atol=1e-12)
+
+
+def test_ell_to_dense():
+    A = _random_spd(80, seed=5)
+    E = ell_from_scipy(A, dtype=jnp.float64)
+    assert np.allclose(np.asarray(ell_to_dense(E)), A.toarray(), atol=1e-12)
+
+
+def _random_prolongation(nf, nc, seed=0):
+    rng = np.random.default_rng(seed)
+    cols = rng.integers(0, nc, size=(nf, 3)).astype(np.int32)
+    w = rng.random((nf, 3))
+    w /= w.sum(axis=1, keepdims=True)
+    return cols, w
+
+
+def test_prolongation_against_scipy():
+    nf, nc = 400, 60
+    cols, w = _random_prolongation(nf, nc, seed=6)
+    U = make_prolongation(cols, w, nc, dtype=jnp.float64)
+    Us = U.to_scipy()
+    e = np.random.default_rng(7).standard_normal(nc)
+    r = np.random.default_rng(8).standard_normal(nf)
+    assert np.allclose(np.asarray(U.prolong(jnp.asarray(e))), Us @ e, atol=1e-10)
+    assert np.allclose(np.asarray(U.restrict(jnp.asarray(r))), Us.T @ r, atol=1e-10)
+    R = np.random.default_rng(9).standard_normal((nf, 3))
+    assert np.allclose(np.asarray(U.restrict(jnp.asarray(R))), Us.T @ R, atol=1e-10)
+
+
+def test_galerkin_plan_matches_scipy_triple_product():
+    nf, nc = 300, 50
+    A = _random_spd(nf, seed=10)
+    cols, w = _random_prolongation(nf, nc, seed=11)
+    U = make_prolongation(cols, w, nc, dtype=jnp.float64)
+    E = ell_from_scipy(A, dtype=jnp.float64)
+    plan = make_galerkin_plan(
+        np.asarray(E.indices), np.asarray(E.values) != 0, cols, nc
+    )
+    Abar = plan.reduce(E, U)
+    Us = U.to_scipy()
+    ref = (Us.T @ A @ Us).toarray()
+    got = np.asarray(ell_to_dense(Abar))
+    assert np.allclose(got, ref, atol=1e-8)
+
+
+def test_galerkin_plan_value_update_same_pattern():
+    """Plans are reusable across LHS values with the same sparsity."""
+    nf, nc = 200, 40
+    A1 = _random_spd(nf, seed=12)
+    A2 = A1.copy()
+    A2.data = A2.data * 2.0 + 0.1
+    cols, w = _random_prolongation(nf, nc, seed=13)
+    U = make_prolongation(cols, w, nc, dtype=jnp.float64)
+    E1 = ell_from_scipy(A1, dtype=jnp.float64)
+    plan = make_galerkin_plan(
+        np.asarray(E1.indices), np.asarray(E1.values) != 0, cols, nc
+    )
+    E2 = ell_from_scipy(A2, dtype=jnp.float64, pad_to=E1.indices.shape[1])
+    Us = U.to_scipy()
+    got = np.asarray(ell_to_dense(plan.reduce(E2, U)))
+    ref = (Us.T @ A2 @ Us).toarray()
+    assert np.allclose(got, ref, atol=1e-8)

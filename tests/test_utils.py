@@ -1,0 +1,126 @@
+"""Unit tests for graph/mesh utilities (SURVEY.md §4: kernel-level tests
+against scipy/dense references)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gravo_mg_tpu.utils.laplacian import (
+    cotan_laplacian,
+    mass_barycentric,
+    mass_voronoi,
+    point_cloud_laplacian,
+)
+from gravo_mg_tpu.utils.meshgen import grid_mesh, icosphere, point_cloud, torus_mesh
+from gravo_mg_tpu.utils.neighbors import (
+    homogenize_edges,
+    knn_undirected,
+    neighbors_from_faces,
+    neighbors_from_stiffness,
+    neighbors_to_edges,
+)
+from gravo_mg_tpu.utils.normalize import (
+    normalize_area,
+    normalize_bounding_box,
+)
+
+
+def test_homogenize_roundtrip():
+    ii = np.array([0, 0, 1, 2, 2, 2])
+    jj = np.array([1, 2, 0, 0, 1, 3])
+    neigh = homogenize_edges(ii, jj, num_nodes=4)
+    assert neigh.shape == (4, 3)
+    ri, rj = neighbors_to_edges(neigh)
+    got = set(zip(ri.tolist(), rj.tolist()))
+    assert got == set(zip(ii.tolist(), jj.tolist()))
+
+
+def test_neighbors_from_faces_symmetric():
+    V, F = icosphere(2)
+    neigh = neighbors_from_faces(F)
+    ii, jj = neighbors_to_edges(neigh)
+    edges = set(zip(ii.tolist(), jj.tolist()))
+    assert all((j, i) in edges for i, j in edges)
+    # icosphere: all vertices have degree 5 or 6
+    deg = (neigh >= 0).sum(axis=1)
+    assert set(deg.tolist()) <= {5, 6}
+
+
+def test_neighbors_from_stiffness_matches_faces():
+    V, F = icosphere(2)
+    S = cotan_laplacian(V, F)
+    n1 = neighbors_from_faces(F)
+    n2 = neighbors_from_stiffness(S)
+    e1 = set(zip(*[a.tolist() for a in neighbors_to_edges(n1)]))
+    e2 = set(zip(*[a.tolist() for a in neighbors_to_edges(n2)]))
+    assert e1 == e2
+
+
+def test_cotan_laplacian_properties():
+    V, F = icosphere(3)
+    S = cotan_laplacian(V, F)
+    # symmetric, zero row sums (constants in kernel), PSD
+    assert abs(S - S.T).max() < 1e-10
+    assert np.abs(S @ np.ones(S.shape[0])).max() < 1e-10
+    x = np.random.default_rng(0).standard_normal(S.shape[0])
+    assert x @ (S @ x) >= -1e-8
+
+
+def test_cotan_laplacian_sphere_eigenvalue():
+    # On the unit sphere, -Δ (coords) = 2 * coords; with lumped mass:
+    # S V ≈ 2 M V.
+    V, F = icosphere(4)
+    S = cotan_laplacian(V, F)
+    M = mass_voronoi(V, F)
+    lhs = S @ V
+    rhs = 2.0 * (M @ V)
+    rel = np.linalg.norm(lhs - rhs) / np.linalg.norm(rhs)
+    assert rel < 0.05
+
+
+def test_mass_matrices_positive_and_total_area():
+    V, F = icosphere(3)
+    area = 0.5 * np.linalg.norm(
+        np.cross(V[F[:, 1]] - V[F[:, 0]], V[F[:, 2]] - V[F[:, 0]]), axis=1
+    ).sum()
+    for mass_fn in (mass_barycentric, mass_voronoi):
+        M = mass_fn(V, F)
+        d = M.diagonal()
+        assert (d > 0).all()
+        assert abs(d.sum() - area) / area < 1e-6
+
+
+def test_point_cloud_laplacian():
+    P = point_cloud(500, seed=1)
+    S, M = point_cloud_laplacian(P, k=8)
+    assert abs(S - S.T).max() < 1e-10
+    assert np.abs(S @ np.ones(S.shape[0])).max() < 1e-8
+    assert (M.diagonal() > 0).all()
+
+
+def test_knn_undirected():
+    P = point_cloud(200, seed=2)
+    neigh = knn_undirected(P, 6)
+    ii, jj = neighbors_to_edges(neigh)
+    edges = set(zip(ii.tolist(), jj.tolist()))
+    assert all((j, i) in edges for i, j in edges)
+    assert (neigh >= 0).sum(axis=1).min() >= 6
+
+
+def test_meshgen_shapes():
+    V, F = grid_mesh(10, 12)
+    assert V.shape == (120, 3) and F.shape == (2 * 9 * 11, 3)
+    V, F = torus_mesh(16, 8)
+    assert V.shape == (128, 3) and F.shape == (256, 3)
+    assert F.max() < V.shape[0]
+
+
+def test_normalizers():
+    V, F = icosphere(2)
+    Vn = normalize_area(2.5 * V + 1.0, F)
+    from gravo_mg_tpu.utils.normalize import face_area
+
+    assert abs(face_area(Vn, F).sum() - 1.0) < 1e-8
+    assert np.abs(Vn.mean(axis=0)).max() < 1e-8
+    Vb = normalize_bounding_box(V * 3)
+    assert abs(np.abs(Vb).max() - 0.5) < 1e-8
