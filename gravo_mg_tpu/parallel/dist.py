@@ -1,0 +1,199 @@
+"""Multi-chip distribution: row-partitioned multigrid over a device mesh.
+
+The reference is strictly single-threaded (SURVEY.md §2.5); scaling the
+vertex dimension across devices is a new first-class capability of the TPU
+build.  Design (BASELINE.json north star): every level's operators are
+**row-partitioned** over a 1-D ``rows`` mesh axis via `jax.sharding.
+NamedSharding`, and the existing jitted cycle runs unchanged under GSPMD —
+XLA inserts the collectives (all-gathers for the SpMV/prolongation gathers
+whose column indices cross partitions, reduce-scatters for the restriction
+segment-sums).  This is the idiomatic-JAX formulation of the reference's
+missing "communication layer": shardings + compiler-inserted collectives
+over ICI, not hand-written message passing.
+
+Row padding: every sharded leading dimension is padded to a multiple of
+the mesh size with inert rows (index 0 / weight 0), so partitions are
+even and shapes static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sparse import EllMatrix, Prolongation
+from ..solver.multigrid import LevelOps, MultigridSolveContext
+
+
+def make_solver_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D device mesh with a ``rows`` axis (vertex-dimension partitioning,
+    the domain-decomposition analog of data parallelism)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("rows",))
+
+
+def _pad_rows(arr: jnp.ndarray, target: int, fill=0):
+    n = arr.shape[0]
+    if n == target:
+        return arr
+    pad_width = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad_width, constant_values=fill)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _shard_ell(A: EllMatrix, mesh: Mesh, ndev: int) -> EllMatrix:
+    n = A.indices.shape[0]
+    npad = _round_up(n, ndev)
+    sh = NamedSharding(mesh, P("rows", None))
+    return EllMatrix(
+        jax.device_put(_pad_rows(A.indices, npad), sh),
+        jax.device_put(_pad_rows(A.values, npad), sh),
+        A.ncols,
+    )
+
+
+def _shard_prolongation(
+    U: Prolongation, mesh: Mesh, nf_pad: int, nc_pad: int
+) -> Prolongation:
+    """Row-shard U with padded fine AND coarse dimensions.
+
+    Padded fine rows point at coarse row 0 with weight 0 (inert); the
+    restriction's ``num_segments`` becomes the padded coarse size so its
+    output feeds the next level's padded operators directly.  The
+    perm/seg_ids plan is rebuilt over the padded rows.
+    """
+    cols = np.asarray(U.cols)
+    w = np.asarray(U.weights)
+    nf, width = cols.shape
+    if nf_pad != nf:
+        cols = np.concatenate(
+            [cols, np.zeros((nf_pad - nf, width), cols.dtype)]
+        )
+        w = np.concatenate([w, np.zeros((nf_pad - nf, width), w.dtype)])
+    flat = cols.reshape(-1)
+    perm = np.argsort(flat, kind="stable").astype(np.int32)
+    seg = flat[perm].astype(np.int32)
+    sh2 = NamedSharding(mesh, P("rows", None))
+    sh1 = NamedSharding(mesh, P("rows"))
+    return Prolongation(
+        jax.device_put(jnp.asarray(cols), sh2),
+        jax.device_put(jnp.asarray(w), sh2),
+        jax.device_put(jnp.asarray(perm), sh1),
+        jax.device_put(jnp.asarray(seg), sh1),
+        nc_pad,
+    )
+
+
+@dataclasses.dataclass
+class ShardedContext:
+    """Row-partitioned view of a MultigridSolveContext."""
+
+    mesh: Mesh
+    levels: tuple
+    coarse_cho: jnp.ndarray
+    M: EllMatrix
+    Minv_diag: jnp.ndarray
+    cfg: object
+    n_rows: int       # unpadded fine size
+    n_rows_pad: int
+
+
+def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
+    """Distribute a solve context's per-level operators over the mesh.
+
+    Only the fine dimension of each level is sharded (rows); coarse
+    dimensions below ``lower_bound`` rows and the dense coarse factor are
+    replicated — they are tiny by construction (SURVEY.md §5: all-gather
+    onto the coarsest level).
+    """
+    ndev = mesh.devices.size
+    rep = NamedSharding(mesh, P())
+    # Padded size per level (fine sizes n_0..n_{L-1}, then the coarsest).
+    sizes = [ops.A.indices.shape[0] for ops in ctx.levels]
+    sizes.append(ctx.levels[-1].U.ncoarse)
+    pads = [_round_up(n, ndev) for n in sizes]
+    levels = []
+    for k, ops in enumerate(ctx.levels):
+        A = _shard_ell(ops.A, mesh, ndev)
+        # Padded rows: diag_inv 0 -> Jacobi/Chebyshev updates are no-ops
+        # there (residual of a 0-row is 0 anyway).
+        diag_inv = jax.device_put(
+            _pad_rows(ops.diag_inv, pads[k]), NamedSharding(mesh, P("rows"))
+        )
+        U = _shard_prolongation(ops.U, mesh, pads[k], pads[k + 1])
+        levels.append(
+            LevelOps(A, diag_inv, jax.device_put(ops.lam_max, rep), U)
+        )
+    # Coarse dense factor: pad with an identity block (chol(blockdiag(A,I))
+    # = blockdiag(chol(A), I)) so the padded restriction feeds it directly.
+    cc = np.asarray(ctx.coarse_cho)
+    nc, nc_pad = sizes[-1], pads[-1]
+    if nc_pad != nc:
+        cc_pad = np.zeros((nc_pad, nc_pad), dtype=cc.dtype)
+        cc_pad[:nc, :nc] = cc
+        cc_pad[nc:, nc:] = np.eye(nc_pad - nc, dtype=cc.dtype)
+        cc = cc_pad
+    return ShardedContext(
+        mesh=mesh,
+        levels=tuple(levels),
+        coarse_cho=jax.device_put(jnp.asarray(cc), rep),
+        M=_shard_ell(ctx.M, mesh, ndev),
+        Minv_diag=jax.device_put(
+            _pad_rows(ctx.Minv_diag, pads[0]), NamedSharding(mesh, P("rows"))
+        ),
+        cfg=ctx.cfg,
+        n_rows=sizes[0],
+        n_rows_pad=pads[0],
+    )
+
+
+def sharded_cycle_step(sctx: ShardedContext, b: jnp.ndarray, x: jnp.ndarray):
+    """One V/F/W cycle with row-sharded inputs (GSPMD partitions it)."""
+    from ..solver.multigrid import cycle_step
+
+    sh = NamedSharding(
+        sctx.mesh, P("rows") if b.ndim == 1 else P("rows", None)
+    )
+    b = jax.device_put(_pad_rows(jnp.asarray(b), sctx.n_rows_pad), sh)
+    x = jax.device_put(_pad_rows(jnp.asarray(x), sctx.n_rows_pad), sh)
+    out = cycle_step(sctx.cfg, sctx.levels, sctx.coarse_cho, b, x)
+    return out[: sctx.n_rows]
+
+
+def sharded_solve(
+    sctx: ShardedContext,
+    rhs: np.ndarray,
+    *,
+    tol: float = 1e-4,
+    criteria: int = 2,
+    max_iter: int = 100,
+    dtype=jnp.float32,
+):
+    """Iterate-to-tolerance on the sharded operators (fused on device)."""
+    from ..solver.multigrid import fused_solve
+    from ..solver.residual import residual_denominator
+
+    sh = NamedSharding(
+        sctx.mesh, P("rows") if np.ndim(rhs) == 1 else P("rows", None)
+    )
+    b = jax.device_put(
+        _pad_rows(jnp.asarray(rhs, dtype=dtype), sctx.n_rows_pad), sh
+    )
+    x0 = jax.device_put(jnp.zeros_like(b), sh)
+    den = residual_denominator(sctx.M, sctx.Minv_diag, b, criteria)
+    x, iters, res, trace = fused_solve(
+        sctx.cfg, sctx.levels, sctx.coarse_cho, sctx.M, sctx.Minv_diag,
+        b, x0, den, jnp.asarray(tol, dtype), criteria, max_iter,
+    )
+    return np.asarray(x)[: sctx.n_rows], int(iters), float(res)

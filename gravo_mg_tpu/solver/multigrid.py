@@ -198,7 +198,10 @@ def build_galerkin_chain(
     patterns = [(idx, mask)]
     for lvl in hierarchy.levels:
         nc = lvl.U.ncoarse
-        plan = make_galerkin_plan(idx, mask, np.asarray(lvl.U.cols), nc)
+        plan = make_galerkin_plan(
+            idx, mask, np.asarray(lvl.U.cols), nc,
+            U_mask=np.asarray(lvl.U.weights) != 0,
+        )
         plans.append(plan)
         idx = np.asarray(plan.out_ell_idx)
         src = np.asarray(plan.out_ell_src)

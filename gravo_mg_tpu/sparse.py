@@ -234,29 +234,8 @@ class GalerkinPlan:
         return EllMatrix(self.out_ell_idx, ell_vals, self.ncoarse)
 
 
-def make_galerkin_plan(A_indices: np.ndarray, A_values_mask: np.ndarray,
-                       U_cols: np.ndarray, ncoarse: int) -> GalerkinPlan:
-    """Host-side pattern discovery for the Galerkin triple product.
-
-    ``A_values_mask`` marks which ELL slots of A are real nnz (True) vs
-    padding; padded contributions are routed to a dump slot so they never
-    pollute the output.
-    """
-    A_indices = np.asarray(A_indices)
-    mask = np.asarray(A_values_mask, dtype=bool)
-    U_cols = np.asarray(U_cols, dtype=np.int64)
-    nf, k = A_indices.shape
-    w = U_cols.shape[1]
-    ci = np.broadcast_to(U_cols[:, None, :, None], (nf, k, w, w))
-    cj = np.broadcast_to(
-        U_cols[A_indices][:, :, None, :], (nf, k, w, w)
-    )
-    keys = (ci * ncoarse + cj).reshape(-1)
-    valid = np.broadcast_to(mask[:, :, None, None], (nf, k, w, w)).reshape(-1)
-    uniq, inv = np.unique(keys[valid], return_inverse=True)
-    nnz_out = uniq.shape[0]
-    out_slot = np.full(keys.shape[0], nnz_out, dtype=np.int32)
-    out_slot[valid] = inv.astype(np.int32)
+def _ell_layout_from_unique(uniq: np.ndarray, ncoarse: int, nnz_out: int):
+    """Small host step: lay the deduplicated (row, col) keys out as ELL."""
     rows = (uniq // ncoarse).astype(np.int64)
     cols = (uniq % ncoarse).astype(np.int32)
     degree = np.bincount(rows, minlength=ncoarse)
@@ -268,8 +247,98 @@ def make_galerkin_plan(A_indices: np.ndarray, A_values_mask: np.ndarray,
     out_ell_idx = np.zeros((ncoarse, kout), dtype=np.int32)
     out_ell_src[rows, slot_in_row] = np.arange(nnz_out, dtype=np.int32)
     out_ell_idx[rows, slot_in_row] = cols
+    return out_ell_src, out_ell_idx
+
+
+@partial(jax.jit, static_argnames=("ncoarse",))
+def _plan_keys_device(A_indices, mask, U_cols, U_mask, *, ncoarse: int):
+    """Device-side key generation + sort for pattern discovery.
+
+    The O(nnz * W^2) sort/dedup runs on the accelerator; only the
+    deduplicated key list (coarse-level sized) returns to the host.
+    Requires x64 (keys are int64 = ci * ncoarse + cj).
+    """
+    nf, k = A_indices.shape
+    w = U_cols.shape[1]
+    uc = U_cols.astype(jnp.int64)
+    ci = jnp.broadcast_to(uc[:, None, :, None], (nf, k, w, w))
+    cj = jnp.broadcast_to(uc[A_indices][:, :, None, :], (nf, k, w, w))
+    keys = (ci * ncoarse + cj).reshape(-1)
+    valid = (
+        mask[:, :, None, None]
+        & U_mask[:, None, :, None]
+        & U_mask[A_indices][:, :, None, :]
+    ).reshape(-1)
+    big = jnp.int64(ncoarse) * jnp.int64(ncoarse) + 1
+    keys = jnp.where(valid, keys, big)
+    perm = jnp.argsort(keys)
+    skeys = keys[perm]
+    svalid = skeys != big
+    is_new = svalid & jnp.concatenate(
+        [jnp.ones(1, bool), skeys[1:] != skeys[:-1]]
+    )
+    nnz_out = jnp.sum(is_new)
+    inv_sorted = jnp.cumsum(is_new) - 1
+    slot_sorted = jnp.where(svalid, inv_sorted, nnz_out).astype(jnp.int32)
+    out_slot = jnp.zeros_like(slot_sorted).at[perm].set(slot_sorted)
+    return skeys, is_new, nnz_out, out_slot
+
+
+def make_galerkin_plan(A_indices: np.ndarray, A_values_mask: np.ndarray,
+                       U_cols: np.ndarray, ncoarse: int,
+                       U_mask: np.ndarray | None = None) -> GalerkinPlan:
+    """Pattern discovery for the Galerkin triple product.
+
+    ``A_values_mask`` marks which ELL slots of A are real nnz (True) vs
+    padding, and ``U_mask`` does the same for U's padded row slots —
+    without it, U's index-0 weight-0 pads would register a structurally
+    dense row/column 0 in the output.  Masked contributions are routed to
+    a dump slot so they never pollute the output.  The heavy dedup sort
+    runs on device when x64 is available (TPU path); a numpy fallback
+    covers x64-less setups.
+    """
+    A_indices = np.asarray(A_indices)
+    mask = np.asarray(A_values_mask, dtype=bool)
+    U_cols = np.asarray(U_cols, dtype=np.int64)
+    nf, k = A_indices.shape
+    w = U_cols.shape[1]
+    if U_mask is None:
+        U_mask = np.ones((nf, w), dtype=bool)
+    U_mask = np.asarray(U_mask, dtype=bool)
+    # Device dedup pays its compile cost only at scale and only on real
+    # accelerators; small problems and CPU backends use the numpy path.
+    if (
+        jax.config.jax_enable_x64
+        and nf * k * w * w >= 8_000_000
+        and jax.default_backend() != "cpu"
+    ):
+        skeys, is_new, nnz_out_d, out_slot_d = _plan_keys_device(
+            jnp.asarray(A_indices, jnp.int32),
+            jnp.asarray(mask),
+            jnp.asarray(U_cols, jnp.int32),
+            jnp.asarray(U_mask),
+            ncoarse=ncoarse,
+        )
+        nnz_out = int(nnz_out_d)
+        uniq = np.asarray(skeys[jnp.nonzero(is_new, size=nnz_out)[0]])
+        out_slot = out_slot_d
+    else:
+        ci = np.broadcast_to(U_cols[:, None, :, None], (nf, k, w, w))
+        cj = np.broadcast_to(U_cols[A_indices][:, :, None, :], (nf, k, w, w))
+        keys = (ci * ncoarse + cj).reshape(-1)
+        valid = (
+            mask[:, :, None, None]
+            & U_mask[:, None, :, None]
+            & U_mask[A_indices][:, :, None, :]
+        ).reshape(-1)
+        uniq, inv = np.unique(keys[valid], return_inverse=True)
+        nnz_out = uniq.shape[0]
+        out_slot_np = np.full(keys.shape[0], nnz_out, dtype=np.int32)
+        out_slot_np[valid] = inv.astype(np.int32)
+        out_slot = jnp.asarray(out_slot_np)
+    out_ell_src, out_ell_idx = _ell_layout_from_unique(uniq, ncoarse, nnz_out)
     return GalerkinPlan(
-        jnp.asarray(out_slot),
+        out_slot,
         jnp.asarray(out_ell_src),
         jnp.asarray(out_ell_idx),
         nnz_out,
