@@ -127,6 +127,13 @@ class MultigridSolver:
         self._hierarchy_sig21 = build_sig21_hierarchy(
             self.pos, np.asarray(faces), verbose=self.verbose
         )
+        # Reference parity: the sig21 build time lands in the solver's
+        # hierarchyTiming map (multigrid_solver.cpp:1502), so timing CSVs
+        # written while OURS is active still carry the column.
+        for h in (self._hierarchy_ours, self.hierarchy):
+            h.timing["sig21_hierarchy"] = self._hierarchy_sig21.timing[
+                "sig21_hierarchy"
+            ]
 
     def toggle_hierarchy(self, hierarchy_type):
         """Switch between hierarchies (reference core.py:71-78)."""

@@ -176,8 +176,8 @@ def build_hierarchy(
             raise ValueError(f"unknown sampling strategy {sampling_strategy}")
         timing["sampling"] += time.perf_counter() - t0
 
-        if len(samples) < lower_bound:
-            break
+        if len(samples) < lower_bound and k > 0:
+            break  # keep at least one level when the mesh is coarsenable
         nc = len(samples)
         dof.append(nc)
         if verbose:

@@ -76,7 +76,7 @@ def build_hierarchy_sig06(
         )
         timing["sampling"] += time.perf_counter() - t0
         nc = len(samples)
-        if nc < lower_bound or (k > 1 and nc / dof[k] > 0.9):
+        if (nc < lower_bound and k > 0) or (k > 1 and nc / dof[k] > 0.9):
             break
         dof.append(nc)
         if verbose:
@@ -194,7 +194,7 @@ def build_hierarchy_ablation(
         )
         timing["sampling"] += time.perf_counter() - t0
         nc = len(samples)
-        if nc < lower_bound:
+        if nc < lower_bound and k > 0:
             break
         dof.append(nc)
         if verbose:

@@ -1,0 +1,45 @@
+"""SIG21-style decimation hierarchy tests."""
+
+import numpy as np
+import pytest
+
+from gravo_mg_tpu import Hierarchy, MultigridSolver
+from gravo_mg_tpu.hierarchy.sig21 import build_sig21_hierarchy
+
+
+def test_sig21_build(sphere_mesh):
+    h = build_sig21_hierarchy(
+        sphere_mesh["V"], sphere_mesh["F"], min_coarsest=100
+    )
+    assert h.num_levels >= 1
+    # coarsening close to the 0.25 ratio (the last level may stop early
+    # at the min_coarsest floor)
+    for k in range(h.num_levels):
+        rate = h.dof[k + 1] / h.dof[k]
+        floor = max(100 / h.dof[k], 0.2)
+        assert 0.2 < rate <= max(0.6, floor * 1.1), h.dof
+    for lvl in h.levels:
+        U = lvl.U.to_scipy()
+        rs = np.asarray(U.sum(axis=1)).ravel()
+        assert np.allclose(rs, 1.0, atol=1e-6)
+        assert U.data.min() >= -1e-9
+        assert np.diff(U.indptr).max() <= 3
+
+
+def test_sig21_through_solver(sphere_mesh):
+    V, F, S, M = (
+        sphere_mesh["V"], sphere_mesh["F"], sphere_mesh["S"], sphere_mesh["M"]
+    )
+    neigh = sphere_mesh["neigh"]
+    lhs = (M + 1e-3 * S).tocsr()
+    rng = np.random.default_rng(0)
+    rhs = M @ rng.standard_normal((V.shape[0], 1))
+    solver = MultigridSolver(V, neigh, M, lower_bound=100)
+    solver.construct_sig21_hierarchy(F)
+    solver.toggle_hierarchy(Hierarchy.SIG21)
+    x = solver.solve(lhs, rhs)
+    assert solver.residual(lhs, rhs, x) <= 1e-4
+    # and back to ours
+    solver.toggle_hierarchy(Hierarchy.OURS)
+    x2 = solver.solve(lhs, rhs)
+    assert solver.residual(lhs, rhs, x2) <= 1e-4
