@@ -15,21 +15,24 @@ Public API parity with the reference package::
 
 import os
 
+import jax as _jax
+
 # Persistent XLA compilation cache: hierarchy builds jit one kernel set per
-# level shape; caching makes repeat runs warm-start.
-if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
+# level shape; caching makes repeat runs warm-start.  Must go through
+# jax.config (the env var is read before this package can set it — the
+# environment's TPU plugin imports jax at interpreter start).
+if not _jax.config.jax_compilation_cache_dir:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
         os.path.join(os.path.expanduser("~"), ".cache", "gravo_mg_tpu_xla"),
     )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # x64 mode: the compute path stays f32 (explicit dtypes everywhere), but the
 # Galerkin chain / coarse factor run in f64 to keep near-singular systems
 # (Poisson eta=1e-6) solvable — the reference is all-f64 Eigen.  Opt out
 # with GRAVO_MG_TPU_NO_X64=1.
 if os.environ.get("GRAVO_MG_TPU_NO_X64") != "1":
-    import jax as _jax
-
     _jax.config.update("jax_enable_x64", True)
 
 from .enums import CycleType, Hierarchy, Sampling, Smoother, Weighting  # noqa: E402

@@ -84,7 +84,12 @@ def _coarse_graph(labels: np.ndarray, neigh: np.ndarray, nc: int) -> np.ndarray:
     ci = labels[ii].astype(np.int64)
     cj = labels[jj].astype(np.int64)
     m = ci != cj
-    keys = np.unique(ci[m] * nc + cj[m])
+    raw = ci[m] * nc + cj[m]
+    from ..native import unique_i64
+
+    keys = unique_i64(raw)
+    if keys is None:
+        keys = np.unique(raw)
     return homogenize_edges(keys // nc, keys % nc, num_nodes=nc)
 
 

@@ -1,0 +1,91 @@
+"""ctypes loader for the native host-side setup kernels.
+
+Builds ``libgravomg_native.so`` on first import if a C++ toolchain is
+available; every caller has a numpy fallback, so absence of the library
+only costs setup-time performance.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).resolve().parent
+_SO = _HERE / "libgravomg_native.so"
+_SRC = _HERE / "gravomg_native.cpp"
+
+_lib = None
+
+
+def _build() -> bool:
+    for cxx in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cxx, "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
+                 str(_SRC), "-o", str(_SO)],
+                check=True, capture_output=True, timeout=120,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib or None
+    if os.environ.get("GRAVO_MG_NO_NATIVE") == "1":
+        _lib = False
+        return None
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            _lib = False
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        _lib = False
+        return None
+    lib.galerkin_dedup.restype = ctypes.c_int64
+    lib.galerkin_dedup.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.unique_i64.restype = ctypes.c_int64
+    lib.unique_i64.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def galerkin_dedup(keys: np.ndarray, invalid_key: int):
+    """(out_slot, uniq, nnz_out) for contribution keys, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    n = keys.shape[0]
+    out_slot = np.empty(n, dtype=np.int32)
+    uniq = np.empty(n, dtype=np.int64)
+    nnz_out = lib.galerkin_dedup(
+        keys.ctypes.data, n, int(invalid_key),
+        out_slot.ctypes.data, uniq.ctypes.data,
+    )
+    return out_slot, uniq[:nnz_out].copy(), int(nnz_out)
+
+
+def unique_i64(keys: np.ndarray):
+    """Sorted unique values of an int64 array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    n = keys.shape[0]
+    uniq = np.empty(max(n, 1), dtype=np.int64)
+    m = lib.unique_i64(keys.ctypes.data, n, uniq.ctypes.data)
+    return uniq[:m].copy()

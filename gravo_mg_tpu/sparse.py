@@ -305,10 +305,14 @@ def make_galerkin_plan(A_indices: np.ndarray, A_values_mask: np.ndarray,
     if U_mask is None:
         U_mask = np.ones((nf, w), dtype=bool)
     U_mask = np.asarray(U_mask, dtype=bool)
-    # Device dedup pays its compile cost only at scale and only on real
-    # accelerators; small problems and CPU backends use the numpy path.
+    # Device dedup is opt-in: the axon remote compiler currently rejects
+    # the large int64 sort (HTTP 500), and the tuned numpy path below is
+    # ~12s at the 1M-vertex scale.  Set GRAVO_MG_DEVICE_PLAN=1 to use it.
+    import os
+
     if (
-        jax.config.jax_enable_x64
+        os.environ.get("GRAVO_MG_DEVICE_PLAN") == "1"
+        and jax.config.jax_enable_x64
         and nf * k * w * w >= 8_000_000
         and jax.default_backend() != "cpu"
     ):
@@ -325,16 +329,35 @@ def make_galerkin_plan(A_indices: np.ndarray, A_values_mask: np.ndarray,
     else:
         ci = np.broadcast_to(U_cols[:, None, :, None], (nf, k, w, w))
         cj = np.broadcast_to(U_cols[A_indices][:, :, None, :], (nf, k, w, w))
-        keys = (ci * ncoarse + cj).reshape(-1)
+        keys = np.ascontiguousarray((ci * ncoarse + cj).reshape(-1))
         valid = (
             mask[:, :, None, None]
             & U_mask[:, None, :, None]
             & U_mask[A_indices][:, :, None, :]
         ).reshape(-1)
-        uniq, inv = np.unique(keys[valid], return_inverse=True)
-        nnz_out = uniq.shape[0]
-        out_slot_np = np.full(keys.shape[0], nnz_out, dtype=np.int32)
-        out_slot_np[valid] = inv.astype(np.int32)
+        big = np.int64(ncoarse) * np.int64(ncoarse) + 1
+        keys[~valid] = big
+        from .native import galerkin_dedup
+
+        native = galerkin_dedup(keys, int(big))
+        if native is not None:
+            # OpenMP bucket-sort dedup (native/gravomg_native.cpp).
+            out_slot_np, uniq, nnz_out = native
+        else:
+            # Manual sort-based dedup: ~5x faster than np.unique(...,
+            # return_inverse=True) at the 66M-key scale (introsort argsort
+            # + cumsum instead of a stable mergesort).
+            order = np.argsort(keys)
+            skeys = keys[order]
+            svalid = skeys != big
+            is_new = svalid.copy()
+            is_new[1:] &= skeys[1:] != skeys[:-1]
+            nnz_out = int(is_new.sum())
+            inv_sorted = np.cumsum(is_new) - 1
+            slot_sorted = np.where(svalid, inv_sorted, nnz_out).astype(np.int32)
+            out_slot_np = np.empty_like(slot_sorted)
+            out_slot_np[order] = slot_sorted
+            uniq = skeys[is_new]
         out_slot = jnp.asarray(out_slot_np)
     out_ell_src, out_ell_idx = _ell_layout_from_unique(uniq, ncoarse, nnz_out)
     return GalerkinPlan(
