@@ -77,15 +77,15 @@ class SolverConfig:
     cheb_ratio: float = 4.0
     cheb_safety: float = 1.1
     num_levels: int = 0
-    # Mixed precision: smoothing SpMVs run in the compute dtype (f32 on
-    # TPU), but the Galerkin chain + coarse factor run in f64.  Without
-    # this, f32 rounding noise (~1e-7 of O(1) stiffness entries) corrupts
-    # the near-null eigenvalue (~1e-9) of regularized Poisson systems
-    # (eta*M + S, eta=1e-6 — the paper's config) and the coarse correction
-    # diverges.  The reference is all-f64 (Eigen), so this is the TPU
-    # equivalent of its precision envelope at ~1.1x bandwidth cost on the
-    # (small) coarse levels only.
-    precise_galerkin: bool = True
+    # Mixed precision.  The Galerkin chain runs in the compute dtype (f32)
+    # by default: the exact constant-mode deflation (solve()) plus the
+    # rank-1 nullspace regularization of the coarse factor (below) make
+    # f32 rounding of the near-null eigenvalue harmless even for
+    # regularized Poisson systems (eta*M + S, eta=1e-6) — verified
+    # equivalent to the f64 chain in tests.  The (small) coarse dense
+    # factor always runs in f64.  Set precise_galerkin for an all-f64
+    # chain when x64 is enabled.
+    precise_galerkin: bool = False
 
 
 def _smooth(cfg: SolverConfig, ops: LevelOps, b, x, iters: int):
@@ -211,54 +211,71 @@ def build_galerkin_chain(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def prepare_levels(cfg: SolverConfig, A0: EllMatrix, Us, plans, null_fix):
-    """Device-side per-solve setup: Galerkin chain, diagonals, lambda_max,
-    coarse dense Cholesky factor.
+def _prepare_level(cfg: SolverConfig, A_chain: EllMatrix, U, plan):
+    """One level's setup: smoother operator + next level's Galerkin reduce.
 
-    With ``cfg.precise_galerkin`` the chain is evaluated in f64 and cast
-    down to the compute dtype for the smoother operators (see
-    SolverConfig).
-
-    ``null_fix`` (traced 0/1) enables the rank-1 nullspace regularization
-    of the coarsest operator: for near-singular systems (Poisson
-    eta*M + S) the coarse matrix has a near-null constant mode (~1e-9 of
-    its norm) that the TPU's emulated-f64 Cholesky cannot factor
-    (cond ~ 1e10 -> NaN).  Since the outer solve deflates the constant
-    component from the RHS exactly, the coarse correction never needs to
-    produce constants, so adding sigma * (1 1^T)/n — which only moves the
-    near-null eigenvalue — leaves the effective correction unchanged while
-    making the factorization solidly SPD.
+    Jitted per level (not as one monolith) so peak HBM stays at one
+    level's contribution buffers and the compile cache hits across levels
+    and LHS patterns with matching shapes.
     """
-    compute_dtype = A0.values.dtype
-    chain_dtype = jnp.float64 if cfg.precise_galerkin else compute_dtype
-    levels = []
-    A_chain = EllMatrix(A0.indices, A0.values.astype(chain_dtype), A0.ncols)
-    for k in range(cfg.num_levels):
-        A_s = EllMatrix(
-            A_chain.indices, A_chain.values.astype(compute_dtype), A_chain.ncols
-        )
-        diag = A_s.diagonal()
-        diag_inv = 1.0 / jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
-        lam = estimate_lambda_max(A_s, diag_inv)
-        levels.append(LevelOps(A_s, diag_inv, lam, Us[k]))
-        U64 = dataclasses.replace(
-            Us[k], weights=Us[k].weights.astype(chain_dtype)
-        )
-        A_chain = plans[k].reduce(A_chain, U64)
-    # Coarsest operator: densify + Cholesky with a tiny relative shift
-    # (role of the reference's LDLT robustness; min_quad_with_fixed_mg.cpp
-    # :31-36 uses a 1e-12 shift similarly).  The shift must stay far below
-    # the smallest meaningful eigenvalue or it stalls near-singular
-    # systems.
+    compute_dtype = (
+        jnp.float64 if cfg.precise_galerkin else A_chain.values.dtype
+    )
+    A_s = EllMatrix(
+        A_chain.indices,
+        A_chain.values.astype(
+            jnp.float32 if cfg.precise_galerkin else A_chain.values.dtype
+        ),
+        A_chain.ncols,
+    )
+    diag = A_s.diagonal()
+    diag_inv = 1.0 / jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
+    lam = estimate_lambda_max(A_s, diag_inv)
+    Uc = dataclasses.replace(U, weights=U.weights.astype(A_chain.values.dtype))
+    A_next = plan.reduce(A_chain, Uc)
+    return LevelOps(A_s, diag_inv, lam, U), A_next
+
+
+@partial(jax.jit, static_argnames=())
+def _coarse_factor(A_chain: EllMatrix, null_fix):
+    """Dense f64 Cholesky of the coarsest operator.
+
+    ``null_fix`` (traced 0/1) enables the rank-1 nullspace regularization:
+    for near-singular systems (Poisson eta*M + S) the coarse matrix has a
+    near-null constant mode (~1e-9 of its norm) whose Cholesky the TPU
+    cannot factor stably (cond ~ 1e10 -> NaN).  Since the outer solve
+    deflates the constant component from the RHS exactly, the coarse
+    correction never needs to produce constants, so adding
+    sigma * (1 1^T)/n — which only moves the near-null eigenvalue — leaves
+    the effective correction unchanged while making the factorization
+    solidly SPD.  A tiny relative diagonal shift plays the role of the
+    reference's LDLT robustness (min_quad_with_fixed_mg.cpp:31-36).
+    """
     Ad = ell_to_dense(A_chain)
+    if jax.config.jax_enable_x64:
+        Ad = Ad.astype(jnp.float64)
     nc = Ad.shape[0]
     diag_scale = jnp.mean(jnp.abs(jnp.diag(Ad)))
-    rel_shift = 1e-12 if chain_dtype == jnp.float64 else 1e-6
+    rel_shift = 1e-12 if Ad.dtype == jnp.float64 else 1e-6
     Ad = Ad + (rel_shift * diag_scale) * jnp.eye(nc, dtype=Ad.dtype)
     Ad = Ad + (
         jnp.asarray(null_fix, Ad.dtype) * diag_scale / nc
     ) * jnp.ones((nc, nc), dtype=Ad.dtype)
-    coarse_cho = jax.scipy.linalg.cholesky(Ad, lower=True)
+    return jax.scipy.linalg.cholesky(Ad, lower=True)
+
+
+def prepare_levels(cfg: SolverConfig, A0: EllMatrix, Us, plans, null_fix):
+    """Per-solve setup: Galerkin chain, diagonals, lambda_max, coarse
+    dense Cholesky factor.  Drives the per-level jits."""
+    chain_dtype = (
+        jnp.float64 if cfg.precise_galerkin else A0.values.dtype
+    )
+    A_chain = EllMatrix(A0.indices, A0.values.astype(chain_dtype), A0.ncols)
+    levels = []
+    for k in range(cfg.num_levels):
+        ops, A_chain = _prepare_level(cfg, A_chain, Us[k], plans[k])
+        levels.append(ops)
+    coarse_cho = _coarse_factor(A_chain, null_fix)
     return tuple(levels), coarse_cho
 
 
