@@ -11,9 +11,11 @@ segment-sums).  This is the idiomatic-JAX formulation of the reference's
 missing "communication layer": shardings + compiler-inserted collectives
 over ICI, not hand-written message passing.
 
-Row padding: every sharded leading dimension is padded to a multiple of
-the mesh size with inert rows (index 0 / weight 0), so partitions are
-even and shapes static.
+Layout note: device arrays are slot-major transposed — EllMatrix (K, N),
+Prolongation (W, Nf) — so the partitioned (row/vertex) dimension is the
+MINOR axis and specs are ``P(None, "rows")``.  Every sharded vertex
+dimension is padded to a multiple of the mesh size with inert entries
+(index 0 / weight 0), so partitions are even and shapes static.
 """
 
 from __future__ import annotations
@@ -26,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..sparse import EllMatrix, Prolongation
 from ..solver.multigrid import LevelOps, MultigridSolveContext
+from ..sparse import EllMatrix, Prolongation
 
 
 def make_solver_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -40,25 +42,25 @@ def make_solver_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), ("rows",))
 
 
-def _pad_rows(arr: jnp.ndarray, target: int, fill=0):
-    n = arr.shape[0]
-    if n == target:
-        return arr
-    pad_width = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
-    return jnp.pad(arr, pad_width, constant_values=fill)
-
-
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _pad_axis(arr: jnp.ndarray, axis: int, target: int, fill=0):
+    n = arr.shape[axis]
+    if n == target:
+        return arr
+    pad_width = [(0, 0)] * arr.ndim
+    pad_width[axis] = (0, target - n)
+    return jnp.pad(arr, pad_width, constant_values=fill)
+
+
 def _shard_ell(A: EllMatrix, mesh: Mesh, ndev: int) -> EllMatrix:
-    n = A.indices.shape[0]
-    npad = _round_up(n, ndev)
-    sh = NamedSharding(mesh, P("rows", None))
+    npad = _round_up(A.indices.shape[1], ndev)
+    sh = NamedSharding(mesh, P(None, "rows"))
     return EllMatrix(
-        jax.device_put(_pad_rows(A.indices, npad), sh),
-        jax.device_put(_pad_rows(A.values, npad), sh),
+        jax.device_put(_pad_axis(A.indices, 1, npad), sh),
+        jax.device_put(_pad_axis(A.values, 1, npad), sh),
         A.ncols,
     )
 
@@ -66,25 +68,27 @@ def _shard_ell(A: EllMatrix, mesh: Mesh, ndev: int) -> EllMatrix:
 def _shard_prolongation(
     U: Prolongation, mesh: Mesh, nf_pad: int, nc_pad: int
 ) -> Prolongation:
-    """Row-shard U with padded fine AND coarse dimensions.
+    """Shard U with padded fine AND coarse dimensions.
 
-    Padded fine rows point at coarse row 0 with weight 0 (inert); the
+    Padded fine slots point at coarse row 0 with weight 0 (inert); the
     restriction's ``num_segments`` becomes the padded coarse size so its
     output feeds the next level's padded operators directly.  The
-    perm/seg_ids plan is rebuilt over the padded rows.
+    perm/seg_ids plan is rebuilt over the padded layout.
     """
-    cols = np.asarray(U.cols)
+    cols = np.asarray(U.cols)       # (W, Nf)
     w = np.asarray(U.weights)
-    nf, width = cols.shape
+    width, nf = cols.shape
     if nf_pad != nf:
         cols = np.concatenate(
-            [cols, np.zeros((nf_pad - nf, width), cols.dtype)]
+            [cols, np.zeros((width, nf_pad - nf), cols.dtype)], axis=1
         )
-        w = np.concatenate([w, np.zeros((nf_pad - nf, width), w.dtype)])
+        w = np.concatenate(
+            [w, np.zeros((width, nf_pad - nf), w.dtype)], axis=1
+        )
     flat = cols.reshape(-1)
     perm = np.argsort(flat, kind="stable").astype(np.int32)
     seg = flat[perm].astype(np.int32)
-    sh2 = NamedSharding(mesh, P("rows", None))
+    sh2 = NamedSharding(mesh, P(None, "rows"))
     sh1 = NamedSharding(mesh, P("rows"))
     return Prolongation(
         jax.device_put(jnp.asarray(cols), sh2),
@@ -112,31 +116,27 @@ class ShardedContext:
 def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
     """Distribute a solve context's per-level operators over the mesh.
 
-    Only the fine dimension of each level is sharded (rows); coarse
-    dimensions below ``lower_bound`` rows and the dense coarse factor are
-    replicated — they are tiny by construction (SURVEY.md §5: all-gather
-    onto the coarsest level).
+    Only the vertex dimension of each level is sharded; the dense coarse
+    factor is replicated (tiny by construction — SURVEY.md §5: all-gather
+    onto the coarsest level) with an identity pad block so the padded
+    restriction feeds it directly.
     """
     ndev = mesh.devices.size
     rep = NamedSharding(mesh, P())
-    # Padded size per level (fine sizes n_0..n_{L-1}, then the coarsest).
-    sizes = [ops.A.indices.shape[0] for ops in ctx.levels]
+    sizes = [ops.A.indices.shape[1] for ops in ctx.levels]
     sizes.append(ctx.levels[-1].U.ncoarse)
     pads = [_round_up(n, ndev) for n in sizes]
     levels = []
     for k, ops in enumerate(ctx.levels):
         A = _shard_ell(ops.A, mesh, ndev)
-        # Padded rows: diag_inv 0 -> Jacobi/Chebyshev updates are no-ops
-        # there (residual of a 0-row is 0 anyway).
+        # Padded slots: diag_inv 0 -> smoother updates are no-ops there.
         diag_inv = jax.device_put(
-            _pad_rows(ops.diag_inv, pads[k]), NamedSharding(mesh, P("rows"))
+            _pad_axis(ops.diag_inv, 0, pads[k]), NamedSharding(mesh, P("rows"))
         )
         U = _shard_prolongation(ops.U, mesh, pads[k], pads[k + 1])
         levels.append(
             LevelOps(A, diag_inv, jax.device_put(ops.lam_max, rep), U)
         )
-    # Coarse dense factor: pad with an identity block (chol(blockdiag(A,I))
-    # = blockdiag(chol(A), I)) so the padded restriction feeds it directly.
     cc = np.asarray(ctx.coarse_cho)
     nc, nc_pad = sizes[-1], pads[-1]
     if nc_pad != nc:
@@ -150,7 +150,7 @@ def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
         coarse_cho=jax.device_put(jnp.asarray(cc), rep),
         M=_shard_ell(ctx.M, mesh, ndev),
         Minv_diag=jax.device_put(
-            _pad_rows(ctx.Minv_diag, pads[0]), NamedSharding(mesh, P("rows"))
+            _pad_axis(ctx.Minv_diag, 0, pads[0]), NamedSharding(mesh, P("rows"))
         ),
         cfg=ctx.cfg,
         n_rows=sizes[0],
@@ -158,15 +158,23 @@ def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
     )
 
 
+def _vec_sharding(sctx, ndim):
+    return NamedSharding(
+        sctx.mesh, P("rows") if ndim == 1 else P("rows", None)
+    )
+
+
 def sharded_cycle_step(sctx: ShardedContext, b: jnp.ndarray, x: jnp.ndarray):
     """One V/F/W cycle with row-sharded inputs (GSPMD partitions it)."""
     from ..solver.multigrid import cycle_step
 
-    sh = NamedSharding(
-        sctx.mesh, P("rows") if b.ndim == 1 else P("rows", None)
+    sh = _vec_sharding(sctx, np.ndim(b))
+    b = jax.device_put(
+        _pad_axis(jnp.asarray(b), 0, sctx.n_rows_pad), sh
     )
-    b = jax.device_put(_pad_rows(jnp.asarray(b), sctx.n_rows_pad), sh)
-    x = jax.device_put(_pad_rows(jnp.asarray(x), sctx.n_rows_pad), sh)
+    x = jax.device_put(
+        _pad_axis(jnp.asarray(x), 0, sctx.n_rows_pad), sh
+    )
     out = cycle_step(sctx.cfg, sctx.levels, sctx.coarse_cho, b, x)
     return out[: sctx.n_rows]
 
@@ -184,11 +192,9 @@ def sharded_solve(
     from ..solver.multigrid import fused_solve
     from ..solver.residual import residual_denominator
 
-    sh = NamedSharding(
-        sctx.mesh, P("rows") if np.ndim(rhs) == 1 else P("rows", None)
-    )
+    sh = _vec_sharding(sctx, np.ndim(rhs))
     b = jax.device_put(
-        _pad_rows(jnp.asarray(rhs, dtype=dtype), sctx.n_rows_pad), sh
+        _pad_axis(jnp.asarray(rhs, dtype=dtype), 0, sctx.n_rows_pad), sh
     )
     x0 = jax.device_put(jnp.zeros_like(b), sh)
     den = residual_denominator(sctx.M, sctx.Minv_diag, b, criteria)

@@ -187,13 +187,12 @@ def build_galerkin_chain(
     A = lhs_csr.tocsr()
     A.sum_duplicates()
     A0 = ell_from_scipy(A, dtype=dtype)
-    # Host copy of the finest pattern.
+    # Host copy of the finest pattern (transposed (K, N) layout).
     idx = np.asarray(A0.indices)
     mask = np.asarray(A0.values) != 0
     # Ensure structural diagonal entries survive value-zero masking: the
     # smoother needs the diagonal slot.
-    rows = np.arange(idx.shape[0])[:, None]
-    mask |= idx == rows
+    mask |= idx == np.arange(idx.shape[1])[None, :]
     plans: List[GalerkinPlan] = []
     patterns = [(idx, mask)]
     for lvl in hierarchy.levels:
@@ -344,7 +343,7 @@ class MultigridSolveContext:
         t0 = time.perf_counter()
         self.lhs_csr = lhs_csr.tocsr()
         self._analyze_lhs()
-        self.A0 = ell_from_scipy(lhs_csr, dtype=self.dtype, pad_to=self.A0.indices.shape[1])
+        self.A0 = ell_from_scipy(lhs_csr, dtype=self.dtype, pad_to=self.A0.indices.shape[0])
         self.levels, self.coarse_cho = prepare_levels(
             self.cfg, self.A0, self.Us, tuple(self.plans),
             1.0 if self.near_singular else 0.0,

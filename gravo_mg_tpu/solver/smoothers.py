@@ -55,7 +55,7 @@ def estimate_lambda_max(A: EllMatrix, diag_inv, iters: int = 15, seed: int = 0):
     Replaces the role of knowing Gauss-Seidel needs no tuning: Chebyshev
     needs the smoothing interval.  Deterministic given ``seed``.
     """
-    n = A.indices.shape[0]
+    n = A.indices.shape[1]  # transposed (K, N) layout
     v = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=A.values.dtype)
 
     def body(_, carry):
@@ -64,5 +64,6 @@ def estimate_lambda_max(A: EllMatrix, diag_inv, iters: int = 15, seed: int = 0):
         nrm = jnp.linalg.norm(w)
         return w / jnp.maximum(nrm, 1e-30), nrm
 
-    v, lam = jax.lax.fori_loop(0, iters, body, (v / jnp.linalg.norm(v), 1.0))
+    init = (v / jnp.linalg.norm(v), jnp.ones((), dtype=A.values.dtype))
+    v, lam = jax.lax.fori_loop(0, iters, body, init)
     return lam

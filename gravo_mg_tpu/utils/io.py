@@ -55,8 +55,9 @@ def save_hierarchy(filename, hierarchy):
         "num_levels": np.asarray(len(hierarchy.levels)),
     }
     for k, lvl in enumerate(hierarchy.levels):
-        data[f"U_cols_{k}"] = np.asarray(lvl.U.cols)
-        data[f"U_weights_{k}"] = np.asarray(lvl.U.weights)
+        # stored row-major (Nf, W); make_prolongation re-transposes on load
+        data[f"U_cols_{k}"] = np.asarray(lvl.U.cols).T
+        data[f"U_weights_{k}"] = np.asarray(lvl.U.weights).T
         data[f"U_ncoarse_{k}"] = np.asarray(lvl.U.ncoarse)
         data[f"samples_{k}"] = lvl.samples
         data[f"labels_{k}"] = lvl.labels

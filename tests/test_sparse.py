@@ -76,7 +76,7 @@ def test_galerkin_plan_matches_scipy_triple_product():
     U = make_prolongation(cols, w, nc, dtype=jnp.float64)
     E = ell_from_scipy(A, dtype=jnp.float64)
     plan = make_galerkin_plan(
-        np.asarray(E.indices), np.asarray(E.values) != 0, cols, nc
+        np.asarray(E.indices), np.asarray(E.values) != 0, cols.T, nc
     )
     Abar = plan.reduce(E, U)
     Us = U.to_scipy()
@@ -95,7 +95,7 @@ def test_galerkin_plan_value_update_same_pattern():
     U = make_prolongation(cols, w, nc, dtype=jnp.float64)
     E1 = ell_from_scipy(A1, dtype=jnp.float64)
     plan = make_galerkin_plan(
-        np.asarray(E1.indices), np.asarray(E1.values) != 0, cols, nc
+        np.asarray(E1.indices), np.asarray(E1.values) != 0, cols.T, nc
     )
     E2 = ell_from_scipy(A2, dtype=jnp.float64, pad_to=E1.indices.shape[1])
     Us = U.to_scipy()
