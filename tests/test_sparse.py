@@ -97,7 +97,7 @@ def test_galerkin_plan_value_update_same_pattern():
     plan = make_galerkin_plan(
         np.asarray(E1.indices), np.asarray(E1.values) != 0, cols.T, nc
     )
-    E2 = ell_from_scipy(A2, dtype=jnp.float64, pad_to=E1.indices.shape[1])
+    E2 = ell_from_scipy(A2, dtype=jnp.float64, pad_to=E1.indices.shape[0])
     Us = U.to_scipy()
     got = np.asarray(ell_to_dense(plan.reduce(E2, U)))
     ref = (Us.T @ A2 @ Us).toarray()
