@@ -39,6 +39,7 @@ from .enums import CycleType, Hierarchy, Sampling, Smoother, Weighting  # noqa: 
 from .core import MultigridSolver  # noqa: E402
 from .sparse import EllMatrix, Prolongation, ell_from_scipy, spmv  # noqa: E402
 from .hierarchy.builder import build_hierarchy  # noqa: E402
+from .solver.min_quad import MinQuadWithFixedMG  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -54,5 +55,6 @@ __all__ = [
     "ell_from_scipy",
     "spmv",
     "build_hierarchy",
+    "MinQuadWithFixedMG",
     "__version__",
 ]

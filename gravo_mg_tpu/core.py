@@ -113,19 +113,22 @@ class MultigridSolver:
 
     # ---- hierarchy management ---------------------------------------------
 
-    def construct_sig21_hierarchy(self, faces):
+    def construct_sig21_hierarchy(self, faces, dec_type=1):
         """Build a decimation-based (SIG21-style) comparison hierarchy.
 
         The reference vendors Liu et al. 2021's SSP decimation
-        (`constructSIG21Hierarchy`, multigrid_solver.cpp:1488-1503).  Here
-        the same capability — an alternative externally-built hierarchy run
-        through the identical cycle machinery — is provided by
-        :mod:`gravo_mg_tpu.hierarchy.sig21`.
+        (`constructSIG21Hierarchy`, multigrid_solver.cpp:1488-1503;
+        midpoint decimation by default).  Here the same capability — an
+        alternative externally-built hierarchy run through the identical
+        cycle machinery — is provided by :mod:`gravo_mg_tpu.hierarchy.
+        sig21`; ``dec_type`` selects the decimation strategy
+        (0 qslim / 1 midpoint / 2 vertex removal, SSP_decimate.h:22).
         """
         from .hierarchy.sig21 import build_sig21_hierarchy
 
         self._hierarchy_sig21 = build_sig21_hierarchy(
-            self.pos, np.asarray(faces), verbose=self.verbose
+            self.pos, np.asarray(faces), dec_type=dec_type,
+            verbose=self.verbose,
         )
         # Reference parity: the sig21 build time lands in the solver's
         # hierarchyTiming map (multigrid_solver.cpp:1502), so timing CSVs

@@ -33,10 +33,59 @@ from ..utils.neighbors import neighbors_from_faces
 from .builder import Hierarchy, HierarchyLevel
 
 
-def _decimate_midpoint(V: np.ndarray, F: np.ndarray, target_nv: int):
-    """Shortest-edge midpoint collapse until <= target_nv vertices.
+def _face_quadric(p0, p1, p2):
+    """Area-weighted plane quadric K = [n; d][n; d]^T of a triangle."""
+    n = np.cross(p1 - p0, p2 - p0)
+    area2 = np.linalg.norm(n)
+    if area2 < 1e-30:
+        return np.zeros((4, 4))
+    n = n / area2
+    d = -np.dot(n, p0)
+    v = np.array([n[0], n[1], n[2], d])
+    return (0.5 * area2) * np.outer(v, v)
 
-    Returns (V_coarse, F_coarse, fine_to_coarse index map).
+
+def _quadric_cost_pos(Q, pu, pv):
+    """QSLIM edge cost and optimal placement for combined quadric Q.
+
+    Solves the 3x3 stationarity system; falls back to the best of the
+    endpoints/midpoint when the quadric is (near-)singular — the same
+    policy as igl's qslim optimal-placement helper used by SSP_qslim.
+    """
+    A = Q[:3, :3]
+    b = -Q[:3, 3]
+    try:
+        p = np.linalg.solve(A + 1e-12 * np.trace(A) * np.eye(3), b)
+        if np.isfinite(p).all():
+            h = np.array([p[0], p[1], p[2], 1.0])
+            return float(h @ Q @ h), p
+    except np.linalg.LinAlgError:
+        pass
+    best = (np.inf, pu)
+    for p in (pu, pv, 0.5 * (pu + pv)):
+        h = np.array([p[0], p[1], p[2], 1.0])
+        c = float(h @ Q @ h)
+        if c < best[0]:
+            best = (c, p)
+    return best
+
+
+def _decimate(V: np.ndarray, F: np.ndarray, target_nv: int,
+              strategy: str = "midpoint"):
+    """Greedy edge collapse until <= target_nv vertices.
+
+    ``strategy`` mirrors the reference's ``dec_type`` dispatch
+    (SSP_decimate.cpp:25-38; SSP_decimate.h:22 — 0: qslim, 1: midpoint,
+    2: vertex removal):
+
+    * ``midpoint``: shortest edge first, collapse to the midpoint
+      (SSP_midpoint.cpp via igl::shortest_edge_and_midpoint);
+    * ``qslim``: quadric-error cost with optimal placement
+      (SSP_qslim.cpp + compute_vertex_quadrics.cpp);
+    * ``vertexremoval``: cheapest-edge half-collapse that removes vertex v
+      and keeps u in place (the role of SSP_vertexRemoval.cpp).
+
+    Returns (V_coarse, F_coarse, fine_to_coarse index map, kept indices).
     """
     V = V.copy()
     nv = V.shape[0]
@@ -54,6 +103,23 @@ def _decimate_midpoint(V: np.ndarray, F: np.ndarray, target_nv: int):
         out.discard(u)
         return out
 
+    quadrics = None
+    if strategy == "qslim":
+        quadrics = np.zeros((nv, 4, 4))
+        for a, b, c in faces.values():
+            K = _face_quadric(V[a], V[b], V[c])
+            quadrics[a] += K
+            quadrics[b] += K
+            quadrics[c] += K
+
+    def cost_pos(u, v):
+        if strategy == "qslim":
+            return _quadric_cost_pos(quadrics[u] + quadrics[v], V[u], V[v])
+        d2 = float(np.sum((V[u] - V[v]) ** 2))
+        if strategy == "vertexremoval":
+            return d2, V[u].copy()
+        return d2, 0.5 * (V[u] + V[v])
+
     heap = []
     seen_edges = set()
     for f in faces.values():
@@ -61,9 +127,7 @@ def _decimate_midpoint(V: np.ndarray, F: np.ndarray, target_nv: int):
             e = (min(a, b), max(a, b))
             if e not in seen_edges:
                 seen_edges.add(e)
-                heapq.heappush(
-                    heap, (float(np.sum((V[a] - V[b]) ** 2)), e[0], e[1])
-                )
+                heapq.heappush(heap, (cost_pos(*e)[0], e[0], e[1]))
 
     n_alive = nv
     while n_alive > target_nv and heap:
@@ -72,8 +136,8 @@ def _decimate_midpoint(V: np.ndarray, F: np.ndarray, target_nv: int):
             continue
         if v not in neighbors(u):
             continue
-        cur = float(np.sum((V[u] - V[v]) ** 2))
-        if cur > d2 * 1.0001:  # stale entry
+        cur, new_pos = cost_pos(u, v)
+        if cur > d2 * 1.0001 + 1e-30:  # stale entry
             heapq.heappush(heap, (cur, u, v))
             continue
         # Link condition: common neighbors must be exactly the third
@@ -88,8 +152,10 @@ def _decimate_midpoint(V: np.ndarray, F: np.ndarray, target_nv: int):
         thirds -= {u, v}
         if neighbors(u) & neighbors(v) != thirds:
             continue
-        # Collapse v into u at the midpoint.
-        V[u] = 0.5 * (V[u] + V[v])
+        # Collapse v into u at the strategy's placement.
+        V[u] = new_pos
+        if quadrics is not None:
+            quadrics[u] = quadrics[u] + quadrics[v]
         alive_v[v] = False
         n_alive -= 1
         for fi in list(shared_faces):
@@ -103,10 +169,8 @@ def _decimate_midpoint(V: np.ndarray, F: np.ndarray, target_nv: int):
         v_faces[v] = set()
         # refresh edge candidates around u
         for w in neighbors(u):
-            heapq.heappush(
-                heap,
-                (float(np.sum((V[u] - V[w]) ** 2)), min(u, w), max(u, w)),
-            )
+            e = (min(u, w), max(u, w))
+            heapq.heappush(heap, (cost_pos(*e)[0], e[0], e[1]))
 
     keep = np.nonzero(alive_v)[0]
     remap = -np.ones(nv, dtype=np.int64)
@@ -196,10 +260,19 @@ def build_sig21_hierarchy(
     coarsening_ratio: float = 0.25,
     min_coarsest: int = 500,
     max_levels: int = 10,
+    dec_type: int | str = 1,
     verbose: bool = False,
 ) -> Hierarchy:
     """Decimation hierarchy with the reference's SIG21 defaults
-    (multigrid_solver.cpp:1494-1496)."""
+    (multigrid_solver.cpp:1494-1496; midpoint decimation).
+
+    ``dec_type`` follows SSP_decimate.h:22 — 0/'qslim', 1/'midpoint'
+    (default), 2/'vertexremoval'.
+    """
+    if isinstance(dec_type, str):
+        strategy = dec_type
+    else:
+        strategy = {0: "qslim", 1: "midpoint", 2: "vertexremoval"}[int(dec_type)]
     V = np.asarray(pos, dtype=np.float64)
     F = np.asarray(faces, dtype=np.int64)
     timing = {"sig21_hierarchy": 0.0}
@@ -210,7 +283,7 @@ def build_sig21_hierarchy(
     k = 0
     while dof[k] > min_coarsest and k < max_levels:
         target = max(int(dof[k] * coarsening_ratio), min_coarsest)
-        Vc, Fc, kept_map, keep = _decimate_midpoint(V, F, target)
+        Vc, Fc, kept_map, keep = _decimate(V, F, target, strategy)
         if Vc.shape[0] >= dof[k] or Fc.shape[0] == 0:
             break
         cols, wts = _barycentric_assignment(V, Vc, Fc, kept_map)
@@ -237,3 +310,21 @@ def build_sig21_hierarchy(
     timing["n_vertices"] = float(dof[0])
     return Hierarchy(dof, levels, np.asarray(pos), np.zeros((0, 1), np.int32),
                      timing)
+
+
+def block_prolongations(hierarchy: Hierarchy, dim: int = 3):
+    """Vector-valued (block) prolongations: ``P_block = P (x) I_dim``.
+
+    Parity: the reference's ``mg_precompute_block`` (sig21/
+    mg_precompute_block.cpp) expands each scalar prolongation into a
+    ``dim``-interleaved block matrix for systems whose DOFs are stacked
+    per-vertex vectors (x0,y0,z0,x1,...).  Scalar multi-RHS solves don't
+    need this (our ``solve`` vmaps columns); block systems with a
+    ``dim*N x dim*N`` LHS inject these via
+    ``MultigridSolver.set_prolongation_matrices``.
+    """
+    import scipy.sparse as sp
+
+    eye = sp.identity(dim, format="csr")
+    return [sp.kron(lvl.U.to_scipy(), eye, format="csr")
+            for lvl in hierarchy.levels]

@@ -43,3 +43,40 @@ def test_sig21_through_solver(sphere_mesh):
     solver.toggle_hierarchy(Hierarchy.OURS)
     x2 = solver.solve(lhs, rhs)
     assert solver.residual(lhs, rhs, x2) <= 1e-4
+
+
+@pytest.mark.parametrize("dec_type", [0, 2])  # qslim, vertex removal
+def test_sig21_decimation_strategies(sphere_mesh, dec_type):
+    h = build_sig21_hierarchy(
+        sphere_mesh["V"], sphere_mesh["F"], min_coarsest=100,
+        dec_type=dec_type,
+    )
+    assert h.num_levels >= 1
+    assert h.dof[-1] < h.dof[0]
+    for lvl in h.levels:
+        U = lvl.U.to_scipy()
+        rs = np.asarray(U.sum(axis=1)).ravel()
+        assert np.allclose(rs, 1.0, atol=1e-6)
+        assert np.diff(U.indptr).max() <= 3
+    # vertex removal keeps surviving vertices in place
+    if dec_type == 2:
+        Vc = h.levels[0].coarse_points
+        keep = h.levels[0].samples
+        assert np.allclose(Vc, np.asarray(sphere_mesh["V"])[keep])
+
+
+def test_sig21_block_prolongations(sphere_mesh):
+    from gravo_mg_tpu.hierarchy.sig21 import block_prolongations
+
+    h = build_sig21_hierarchy(
+        sphere_mesh["V"], sphere_mesh["F"], min_coarsest=100
+    )
+    blocks = block_prolongations(h, dim=3)
+    for lvl, B in zip(h.levels, blocks):
+        U = lvl.U.to_scipy()
+        assert B.shape == (3 * U.shape[0], 3 * U.shape[1])
+        # interleaved structure: B[3i+c, 3j+c] == U[i, j]
+        i = U.shape[0] // 2
+        j = U.indices[U.indptr[i]]
+        for c in range(3):
+            assert abs(B[3 * i + c, 3 * j + c] - U[i, j]) < 1e-12
