@@ -101,7 +101,7 @@ def main():
         v = spmv_j(A0, v)
     v.block_until_ready()
     spmv_s = (time.perf_counter() - t0) / reps
-    nnz = int((np.asarray(A0.values) != 0).sum())
+    nnz = int((np.asarray(A0.v) != 0).sum())
     nnz_per_s = nnz / spmv_s
     log(f"SpMV: {spmv_s*1e3:.3f} ms/apply, {nnz_per_s/1e9:.2f} Gnnz/s")
 

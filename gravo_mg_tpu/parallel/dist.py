@@ -123,11 +123,12 @@ def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
     """
     ndev = mesh.devices.size
     rep = NamedSharding(mesh, P())
-    sizes = [ops.A.indices.shape[1] for ops in ctx.levels]
-    sizes.append(ctx.levels[-1].U.ncoarse)
+    ell_levels = getattr(ctx, "ell_levels", None) or ctx.levels
+    sizes = [ops.A.indices.shape[1] for ops in ell_levels]
+    sizes.append(ell_levels[-1].U.ncoarse)
     pads = [_round_up(n, ndev) for n in sizes]
     levels = []
-    for k, ops in enumerate(ctx.levels):
+    for k, ops in enumerate(ell_levels):
         A = _shard_ell(ops.A, mesh, ndev)
         # Padded slots: diag_inv 0 -> smoother updates are no-ops there.
         diag_inv = jax.device_put(
@@ -148,7 +149,7 @@ def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
         mesh=mesh,
         levels=tuple(levels),
         coarse_cho=jax.device_put(jnp.asarray(cc), rep),
-        M=_shard_ell(ctx.M, mesh, ndev),
+        M=_shard_ell(getattr(ctx, "M_ell", None) or ctx.M, mesh, ndev),
         Minv_diag=jax.device_put(
             _pad_axis(ctx.Minv_diag, 0, pads[0]), NamedSharding(mesh, P("rows"))
         ),

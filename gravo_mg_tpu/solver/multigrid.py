@@ -33,9 +33,13 @@ from ..sparse import (
     EllMatrix,
     GalerkinPlan,
     Prolongation,
+    ShufflePlan,
+    ShuffleTransfer,
     ell_from_scipy,
     ell_to_dense,
     make_galerkin_plan,
+    shuffle_from_scipy,
+    shuffle_plan_from_ell,
     spmv,
 )
 from .residual import residual_denominator, residual_norm, residual_numerator
@@ -217,9 +221,6 @@ def _prepare_level(cfg: SolverConfig, A_chain: EllMatrix, U, plan):
     level's contribution buffers and the compile cache hits across levels
     and LHS patterns with matching shapes.
     """
-    compute_dtype = (
-        jnp.float64 if cfg.precise_galerkin else A_chain.values.dtype
-    )
     A_s = EllMatrix(
         A_chain.indices,
         A_chain.values.astype(
@@ -229,10 +230,20 @@ def _prepare_level(cfg: SolverConfig, A_chain: EllMatrix, U, plan):
     )
     diag = A_s.diagonal()
     diag_inv = 1.0 / jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
-    lam = estimate_lambda_max(A_s, diag_inv)
     Uc = dataclasses.replace(U, weights=U.weights.astype(A_chain.values.dtype))
     A_next = plan.reduce(A_chain, Uc)
-    return LevelOps(A_s, diag_inv, lam, U), A_next
+    return A_s, diag_inv, A_next
+
+
+@jax.jit
+def _gather_shuffle(plan: ShufflePlan, A: EllMatrix):
+    """Re-lay a level's ELL values into shuffle-ELL (device gather)."""
+    return plan.gather_values(A)
+
+
+@jax.jit
+def _level_lambda(A, diag_inv):
+    return estimate_lambda_max(A, diag_inv)
 
 
 @partial(jax.jit, static_argnames=())
@@ -263,19 +274,37 @@ def _coarse_factor(A_chain: EllMatrix, null_fix):
     return jax.scipy.linalg.cholesky(Ad, lower=True)
 
 
-def prepare_levels(cfg: SolverConfig, A0: EllMatrix, Us, plans, null_fix):
+def prepare_levels(cfg: SolverConfig, A0: EllMatrix, Us, plans, null_fix,
+                   shuf_plans=None, transfers=None):
     """Per-solve setup: Galerkin chain, diagonals, lambda_max, coarse
-    dense Cholesky factor.  Drives the per-level jits."""
+    dense Cholesky factor.  Drives the per-level jits.
+
+    Returns (ell_levels, shuffle_levels, coarse_cho): the ELL bundle
+    feeds the GSPMD row-sharded path (parallel/dist.py), the shuffle
+    bundle the single-chip roofline path; both share diagonals and
+    spectral bounds.  shuffle_levels is None when no plans are given.
+    """
     chain_dtype = (
         jnp.float64 if cfg.precise_galerkin else A0.values.dtype
     )
     A_chain = EllMatrix(A0.indices, A0.values.astype(chain_dtype), A0.ncols)
-    levels = []
+    ell_levels = []
+    shuf_levels = []
     for k in range(cfg.num_levels):
-        ops, A_chain = _prepare_level(cfg, A_chain, Us[k], plans[k])
-        levels.append(ops)
+        A_s, diag_inv, A_chain = _prepare_level(cfg, A_chain, Us[k], plans[k])
+        if shuf_plans is not None:
+            A_shuf = _gather_shuffle(shuf_plans[k], A_s)
+            lam = _level_lambda(A_shuf, diag_inv)
+            shuf_levels.append(LevelOps(A_shuf, diag_inv, lam, transfers[k]))
+        else:
+            lam = _level_lambda(A_s, diag_inv)
+        ell_levels.append(LevelOps(A_s, diag_inv, lam, Us[k]))
     coarse_cho = _coarse_factor(A_chain, null_fix)
-    return tuple(levels), coarse_cho
+    return (
+        tuple(ell_levels),
+        tuple(shuf_levels) if shuf_plans is not None else None,
+        coarse_cho,
+    )
 
 
 class MultigridSolveContext:
@@ -311,18 +340,40 @@ class MultigridSolveContext:
         self._analyze_lhs()
 
         self.mass_csr = mass_csr.tocsr()
-        self.M = ell_from_scipy(mass_csr, dtype=dtype)
+        self.M_ell = ell_from_scipy(mass_csr, dtype=dtype)
+        self.M = shuffle_from_scipy(mass_csr, dtype=dtype)
         minv = 1.0 / np.maximum(np.asarray(mass_csr.diagonal()), 1e-30)
         self.Minv_diag = jnp.asarray(minv, dtype=dtype)
 
+        # Shuffle-ELL plans: per-level operator re-layouts (pattern-only,
+        # reused across LHS values) + grid transfers (U / U^T, values
+        # fixed per hierarchy).
+        t0 = time.perf_counter()
+        self.shuf_plans = tuple(
+            shuffle_plan_from_ell(idx, mask, idx.shape[1])
+            for (idx, mask) in self.patterns[: hierarchy.num_levels]
+        )
+        self.transfers = tuple(
+            self._build_transfer(lvl) for lvl in hierarchy.levels
+        )
+        self.timing["shuffle_plan"] = (time.perf_counter() - t0) * 1000
+
         self.Us = tuple(lvl.U for lvl in hierarchy.levels)
         t0 = time.perf_counter()
-        self.levels, self.coarse_cho = prepare_levels(
+        self.ell_levels, self.levels, self.coarse_cho = prepare_levels(
             self.cfg, self.A0, self.Us, tuple(self.plans),
             1.0 if self.near_singular else 0.0,
+            self.shuf_plans, self.transfers,
         )
         jax.block_until_ready(self.coarse_cho)
         self.timing["reduction"] = (time.perf_counter() - t0) * 1000
+
+    def _build_transfer(self, lvl) -> ShuffleTransfer:
+        Ucsr = lvl.U.to_scipy()
+        return ShuffleTransfer(
+            shuffle_from_scipy(Ucsr, dtype=self.dtype),
+            shuffle_from_scipy(Ucsr.T.tocsr(), dtype=self.dtype),
+        )
 
     def _analyze_lhs(self):
         """f64 row sums (= A @ 1) and near-singularity detection, used for
@@ -344,9 +395,10 @@ class MultigridSolveContext:
         self.lhs_csr = lhs_csr.tocsr()
         self._analyze_lhs()
         self.A0 = ell_from_scipy(lhs_csr, dtype=self.dtype, pad_to=self.A0.indices.shape[0])
-        self.levels, self.coarse_cho = prepare_levels(
+        self.ell_levels, self.levels, self.coarse_cho = prepare_levels(
             self.cfg, self.A0, self.Us, tuple(self.plans),
             1.0 if self.near_singular else 0.0,
+            self.shuf_plans, self.transfers,
         )
         jax.block_until_ready(self.coarse_cho)
         self.timing["reduction"] = (time.perf_counter() - t0) * 1000

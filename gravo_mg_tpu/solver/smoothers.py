@@ -49,14 +49,16 @@ def chebyshev(A: EllMatrix, diag_inv, b, x, degree: int, lam_min, lam_max):
     return x
 
 
-def estimate_lambda_max(A: EllMatrix, diag_inv, iters: int = 15, seed: int = 0):
+def estimate_lambda_max(A, diag_inv, iters: int = 15, seed: int = 0):
     """Spectral radius of D^-1 A by power iteration (device-side).
 
     Replaces the role of knowing Gauss-Seidel needs no tuning: Chebyshev
     needs the smoothing interval.  Deterministic given ``seed``.
+    Accepts any container ``spmv`` dispatches on (EllMatrix/ShuffleEll).
     """
-    n = A.indices.shape[1]  # transposed (K, N) layout
-    v = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=A.values.dtype)
+    n = A.shape[0]
+    dtype = diag_inv.dtype
+    v = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=dtype)
 
     def body(_, carry):
         v, _ = carry
@@ -64,6 +66,6 @@ def estimate_lambda_max(A: EllMatrix, diag_inv, iters: int = 15, seed: int = 0):
         nrm = jnp.linalg.norm(w)
         return w / jnp.maximum(nrm, 1e-30), nrm
 
-    init = (v / jnp.linalg.norm(v), jnp.ones((), dtype=A.values.dtype))
+    init = (v / jnp.linalg.norm(v), jnp.ones((), dtype=dtype))
     v, lam = jax.lax.fori_loop(0, iters, body, init)
     return lam

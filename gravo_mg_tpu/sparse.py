@@ -99,12 +99,270 @@ def spmv_1d(A: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(A.values * g, axis=0)
 
 
-def spmv(A: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A @ x for x of shape (N,) or (N, d); columns vmapped so the
-    batch dim stays major on device."""
+def spmv(A, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x for x of shape (N,) or (N, d).
+
+    Dispatches on the container: ShuffleEll takes the fast lane-shuffle
+    path (TPU roofline); EllMatrix takes the generic XLA gather (used by
+    the GSPMD row-sharded distributed path, where the shuffle layout's
+    cross-partition row gathers don't shard cleanly).
+    """
+    if isinstance(A, ShuffleEll):
+        return shuffle_spmv(A, x)
     if x.ndim == 1:
         return spmv_1d(A, x)
     return jax.vmap(lambda c: spmv_1d(A, c), in_axes=1, out_axes=1)(x)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-ELL: the TPU-roofline sparse format
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShuffleEll:
+    """Sparse matrix laid out for the TPU's two vectorized gather paths.
+
+    Motivation: XLA's generic gather runs on the scalar unit (~54 ms for a
+    7-nnz/row SpMV at 1M rows); the only fast dynamic data movements are
+    (a) gathers of whole 128-lane rows and (b) the in-register 128-lane
+    shuffle `tpu.dynamic_gather` (see ops/shuffle_spmv.py).  Shuffle-ELL
+    assigns every nnz (i, j) to a slot k such that, within each group of
+    128 consecutive output rows, slot k sources from a SINGLE 128-aligned
+    block of x: ``q[k, i//128] = j//128`` uniformly over the group, and
+    ``r[k, s, i%128] = j%128`` selects the lane.  SpMV is then
+
+        z = xb[q]                       # fast row gather (XLA)
+        y = sum_k v[k] * shuffle(z[k], r[k])   # pallas kernel
+
+    The slot count KP is data-dependent (sum over source blocks of the
+    max per-lane multiplicity, maximized over groups) — small for
+    index-localized matrices, which mesh Laplacians and Galerkin-reduced
+    operators are after the hierarchy's index-ordered sampling.
+    """
+
+    q: jnp.ndarray   # (KP, S) int32 — source block per (slot, row group)
+    r: jnp.ndarray   # (KP, S, 128) int32 — lane within block
+    v: jnp.ndarray   # (KP, S, 128) — values (0 = padding)
+    nrows: int
+    ncols: int
+
+    def tree_flatten(self):
+        return (self.q, self.r, self.v), (self.nrows, self.ncols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1])
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def kp(self):
+        return self.q.shape[0]
+
+    def to_scipy(self) -> sp.csr_matrix:
+        kp, s = self.q.shape
+        qn = np.asarray(self.q)
+        rn = np.asarray(self.r)
+        vn = np.asarray(self.v)
+        cols = (qn[:, :, None] * 128 + rn).reshape(-1)
+        rows = np.tile(
+            np.arange(s * 128, dtype=np.int64).reshape(1, s, 128), (kp, 1, 1)
+        ).reshape(-1)
+        vals = vn.reshape(-1)
+        keep = (vals != 0) & (rows < self.nrows) & (cols < self.ncols)
+        m = sp.coo_matrix(
+            (vals[keep], (rows[keep], cols[keep])),
+            shape=(self.nrows, self.ncols),
+        )
+        m.sum_duplicates()
+        return m.tocsr()
+
+
+def _shuffle_layout(rows: np.ndarray, cols: np.ndarray, nr: int, nc: int,
+                    kc: int = 4):
+    """Host-side slot assignment for shuffle-ELL (see ShuffleEll).
+
+    Returns (KP, S, q, flat_pos): ``q`` the (KP, S) block table and
+    ``flat_pos[p]`` the destination of input nnz p inside the flattened
+    (KP, S, 128) value/lane arrays.  Duplicate (row, col) pairs get
+    distinct slots (COO summation semantics).  KP is padded to a multiple
+    of ``kc`` (the kernel's k-chunk) and S to a multiple of 8 (sublane
+    tiling).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    nnz = rows.size
+    S = max(-(-nr // 128), 1)
+    S += (-S) % 8
+    if nnz == 0:
+        q = np.zeros((kc, S), np.int32)
+        return kc, S, q, np.zeros((0,), np.int64)
+    grp = rows >> 7
+    lane = rows & 127
+    blk = cols >> 7
+    # occurrence rank t of each nnz within its (row-group, block, lane)
+    order = np.lexsort((lane, blk, grp))
+    g_s, b_s, l_s = grp[order], blk[order], lane[order]
+    new = np.ones(nnz, dtype=bool)
+    new[1:] = (g_s[1:] != g_s[:-1]) | (b_s[1:] != b_s[:-1]) | (
+        l_s[1:] != l_s[:-1]
+    )
+    run_start = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1
+    t_s = np.arange(nnz, dtype=np.int64) - run_start[run_id]
+    t_max = int(t_s.max()) + 1
+    nblk = int(blk.max()) + 1
+    # slot index = rank of the (block, t) pair within its row group
+    trip = (g_s * nblk + b_s) * t_max + t_s
+    uk, inv = np.unique(trip, return_inverse=True)
+    ug = uk // (np.int64(nblk) * t_max)
+    starts = np.searchsorted(ug, np.arange(S + 1))
+    slot = np.arange(uk.size, dtype=np.int64) - starts[ug]
+    kp = int(slot.max()) + 1
+    kp += (-kp) % kc
+    k_of = slot[inv]
+    flat_sorted = (k_of * S + g_s) * 128 + l_s
+    flat_pos = np.empty(nnz, dtype=np.int64)
+    flat_pos[order] = flat_sorted
+    q = np.zeros((kp, S), np.int32)
+    q[slot, ug] = (uk // t_max) % nblk
+    return kp, S, q, flat_pos
+
+
+def shuffle_from_scipy(A, dtype=jnp.float32) -> ShuffleEll:
+    """Convert any scipy sparse matrix to shuffle-ELL (host-side)."""
+    A = A.tocoo()
+    A.sum_duplicates()
+    nr, nc = A.shape
+    kp, s, q, pos = _shuffle_layout(A.row, A.col, nr, nc)
+    r = np.zeros((kp * s * 128,), np.int32)
+    v = np.zeros((kp * s * 128,), np.float64)
+    r[pos] = np.asarray(A.col, np.int64) & 127
+    v[pos] = A.data
+    return ShuffleEll(
+        jnp.asarray(q),
+        jnp.asarray(r.reshape(kp, s, 128)),
+        jnp.asarray(v.reshape(kp, s, 128), dtype=dtype),
+        nr, nc,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShufflePlan:
+    """Pattern-only shuffle layout + source map into a (K, N) ELL matrix.
+
+    Built once per sparsity pattern on the host; ``gather_values`` then
+    re-lays a same-pattern ELL's values into shuffle-ELL on device —
+    used per solve to convert each Galerkin-reduced level operator.
+    ``src`` indexes the flattened (K*N,) ELL values with K*N meaning
+    "padding" (routed to an appended zero).
+    """
+
+    q: jnp.ndarray     # (KP, S) int32
+    r: jnp.ndarray     # (KP, S, 128) int32
+    src: jnp.ndarray   # (KP, S, 128) int32
+    nrows: int
+    ncols: int
+
+    def tree_flatten(self):
+        return (self.q, self.r, self.src), (self.nrows, self.ncols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1])
+
+    def gather_values(self, A: EllMatrix) -> ShuffleEll:
+        vp = jnp.concatenate(
+            [A.values.reshape(-1), jnp.zeros((1,), A.values.dtype)]
+        )
+        return ShuffleEll(
+            self.q, self.r, jnp.take(vp, self.src), self.nrows, self.ncols
+        )
+
+
+def shuffle_plan_from_ell(idx: np.ndarray, mask: np.ndarray,
+                          ncols: int) -> ShufflePlan:
+    """Build a ShufflePlan from a transposed-ELL pattern (host-side).
+
+    ``idx (K, N)`` column indices, ``mask (K, N)`` real-vs-padding.
+    """
+    idx = np.asarray(idx)
+    mask = np.asarray(mask, dtype=bool)
+    k, n = idx.shape
+    ell_pos = np.arange(k * n, dtype=np.int64)[mask.reshape(-1)]
+    rows = np.tile(np.arange(n, dtype=np.int64), (k, 1)).reshape(-1)[
+        mask.reshape(-1)
+    ]
+    cols = idx.reshape(-1)[mask.reshape(-1)].astype(np.int64)
+    kp, s, q, pos = _shuffle_layout(rows, cols, n, ncols)
+    r = np.zeros((kp * s * 128,), np.int32)
+    src = np.full((kp * s * 128,), k * n, np.int32)
+    r[pos] = cols & 127
+    src[pos] = ell_pos
+    return ShufflePlan(
+        jnp.asarray(q),
+        jnp.asarray(r.reshape(kp, s, 128)),
+        jnp.asarray(src.reshape(kp, s, 128)),
+        n, int(ncols),
+    )
+
+
+def shuffle_spmv_1d(A: ShuffleEll, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x via row gather + lane-shuffle FMA (see ShuffleEll)."""
+    from .ops.shuffle_spmv import lane_shuffle_fma
+
+    kp, s = A.q.shape
+    nc_pad = -(-A.ncols // 128) * 128
+    if nc_pad != A.ncols:
+        xb = jnp.concatenate(
+            [x, jnp.zeros((nc_pad - A.ncols,), x.dtype)]
+        ).reshape(-1, 128)
+    else:
+        xb = x.reshape(-1, 128)
+    z = jnp.take(xb, A.q.reshape(-1), axis=0).reshape(kp, s, 128)
+    v = A.v if A.v.dtype == x.dtype else A.v.astype(x.dtype)
+    y = lane_shuffle_fma(z, A.r, v)
+    return y.reshape(-1)[: A.nrows]
+
+
+def shuffle_spmv(A: ShuffleEll, x: jnp.ndarray) -> jnp.ndarray:
+    if x.ndim == 1:
+        return shuffle_spmv_1d(A, x)
+    cols = [shuffle_spmv_1d(A, x[:, d]) for d in range(x.shape[1])]
+    return jnp.stack(cols, axis=1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShuffleTransfer:
+    """Grid-transfer pair in shuffle-ELL form: U (prolong) and U^T
+    (restrict), both scatter-free gather-formulated SpMVs.  Duck-types
+    the Prolongation interface used by the cycle."""
+
+    U: ShuffleEll
+    UT: ShuffleEll
+
+    def tree_flatten(self):
+        return (self.U, self.UT), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def ncoarse(self):
+        return self.U.ncols
+
+    def prolong(self, e):
+        return shuffle_spmv(self.U, e)
+
+    def restrict(self, r):
+        return shuffle_spmv(self.UT, r)
 
 
 @jax.tree_util.register_pytree_node_class
