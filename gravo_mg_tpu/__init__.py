@@ -26,7 +26,11 @@ if not _jax.config.jax_compilation_cache_dir:
         "jax_compilation_cache_dir",
         os.path.join(os.path.expanduser("~"), ".cache", "gravo_mg_tpu_xla"),
     )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Threshold 0: through the axon relay even trivial eager ops take
+    # ~0.4 s to compile (remote roundtrip), below the 0.5 s default write
+    # threshold — so hundreds of small hierarchy-build ops recompiled in
+    # every fresh process (hierarchy cold 88 s vs warm 23 s at 1M).
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # x64 mode: the compute path stays f32 (explicit dtypes everywhere), but the
 # Galerkin chain / coarse factor run in f64 to keep near-singular systems

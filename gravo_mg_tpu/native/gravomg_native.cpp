@@ -113,6 +113,44 @@ int64_t galerkin_dedup(const int64_t* keys, int64_t n, int64_t invalid_key,
   return nnz_out;
 }
 
+// Fused Galerkin contribution-key builder (replaces the numpy broadcast
+// chain in sparse.make_galerkin_plan, which materialized ~1 GB of
+// temporaries at 1M vertices).  Layout matches the device contraction
+// contrib[a, b, k, i] flattened C-order.  Entries failing any mask get
+// `big`.
+void galerkin_keys(const int32_t* A_idx, const uint8_t* A_mask,
+                   int64_t K, int64_t N,
+                   const int32_t* U_cols, const uint8_t* U_mask, int64_t W,
+                   int64_t ncoarse, int64_t big, int64_t* keys) {
+#pragma omp parallel for collapse(3) schedule(static)
+  for (int64_t a = 0; a < W; ++a)
+    for (int64_t b = 0; b < W; ++b)
+      for (int64_t k = 0; k < K; ++k) {
+        const int32_t* arow = A_idx + k * N;
+        const uint8_t* am = A_mask + k * N;
+        const int32_t* ua = U_cols + a * N;
+        const uint8_t* uam = U_mask + a * N;
+        const int32_t* ub = U_cols + b * N;
+        const uint8_t* ubm = U_mask + b * N;
+        int64_t* out = keys + ((a * W + b) * K + k) * N;
+        for (int64_t i = 0; i < N; ++i) {
+          int64_t j = arow[i];
+          bool ok = am[i] && uam[i] && ubm[j];
+          out[i] = ok ? (int64_t)ua[i] * ncoarse + ub[j] : big;
+        }
+      }
+}
+
+// Radix argsort of int64 keys: fills sorted[n] and order[n] such that
+// sorted[i] = keys[order[i]], ascending.  key_max bounds the bit width.
+void sort_pairs_i64(const int64_t* keys, int64_t n, int64_t key_max,
+                    int64_t* sorted, int64_t* order) {
+  std::vector<int64_t> sk, od;
+  parallel_sort_pairs(keys, n, key_max, sk, od);
+  std::memcpy(sorted, sk.data(), n * sizeof(int64_t));
+  std::memcpy(order, od.data(), n * sizeof(int64_t));
+}
+
 // Sorted unique of keys[n] into uniq (caller-allocated, size >= n).
 // Returns the number of unique values.
 int64_t unique_i64(const int64_t* keys, int64_t n, int64_t* uniq) {

@@ -204,32 +204,49 @@ def _shuffle_layout(rows: np.ndarray, cols: np.ndarray, nr: int, nc: int,
     grp = rows >> 7
     lane = rows & 127
     blk = cols >> 7
-    # occurrence rank t of each nnz within its (row-group, block, lane)
-    order = np.lexsort((lane, blk, grp))
-    g_s, b_s, l_s = grp[order], blk[order], lane[order]
+    nblk = int(blk.max()) + 1
+    # one composite radix sort by (group, block, lane); everything below
+    # is O(nnz) segment arithmetic on the sorted order.
+    comp = (grp * nblk + blk) * 128 + lane
+    from .native import argsort_i64
+
+    res = argsort_i64(comp)
+    if res is not None:
+        comp_s, order = res
+    else:
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+    # t: occurrence rank within each (group, block, lane) run
     new = np.ones(nnz, dtype=bool)
-    new[1:] = (g_s[1:] != g_s[:-1]) | (b_s[1:] != b_s[:-1]) | (
-        l_s[1:] != l_s[:-1]
-    )
+    new[1:] = comp_s[1:] != comp_s[:-1]
     run_start = np.flatnonzero(new)
     run_id = np.cumsum(new) - 1
-    t_s = np.arange(nnz, dtype=np.int64) - run_start[run_id]
-    t_max = int(t_s.max()) + 1
-    nblk = int(blk.max()) + 1
-    # slot index = rank of the (block, t) pair within its row group
-    trip = (g_s * nblk + b_s) * t_max + t_s
-    uk, inv = np.unique(trip, return_inverse=True)
-    ug = uk // (np.int64(nblk) * t_max)
-    starts = np.searchsorted(ug, np.arange(S + 1))
-    slot = np.arange(uk.size, dtype=np.int64) - starts[ug]
-    kp = int(slot.max()) + 1
+    t = np.arange(nnz, dtype=np.int64) - run_start[run_id]
+    # (group, block) segments; a segment occupies m = max_lane(count)
+    # consecutive slots within its group
+    gb_s = comp_s >> 7
+    new2 = np.ones(nnz, dtype=bool)
+    new2[1:] = gb_s[1:] != gb_s[:-1]
+    seg_start = np.flatnonzero(new2)
+    seg_id = np.cumsum(new2) - 1
+    m = np.maximum.reduceat(t, seg_start) + 1
+    g_seg = gb_s[seg_start] // nblk
+    b_seg = gb_s[seg_start] % nblk
+    base_global = np.cumsum(m) - m
+    first_seg = np.searchsorted(g_seg, g_seg)   # first segment of own group
+    base_in_group = base_global - base_global[first_seg]
+    kp = int((base_in_group + m).max())
     kp += (-kp) % kc
-    k_of = slot[inv]
-    flat_sorted = (k_of * S + g_s) * 128 + l_s
+    slot_nnz = base_in_group[seg_id] + t
     flat_pos = np.empty(nnz, dtype=np.int64)
-    flat_pos[order] = flat_sorted
+    flat_pos[order] = (slot_nnz * S + (gb_s // nblk)) * 128 + (comp_s & 127)
+    # q table: segment (g, b) fills rows [base, base+m) of column g with b
+    total = int(m.sum())
+    ksl = np.repeat(base_in_group, m) + (
+        np.arange(total, dtype=np.int64) - np.repeat(base_global, m)
+    )
     q = np.zeros((kp, S), np.int32)
-    q[slot, ug] = (uk // t_max) % nblk
+    q[ksl, np.repeat(g_seg, m)] = np.repeat(b_seg, m)
     return kp, S, q, flat_pos
 
 
@@ -541,22 +558,24 @@ def make_galerkin_plan(A_indices: np.ndarray, A_values_mask: np.ndarray,
     if U_mask is None:
         U_mask = np.ones((w, n), dtype=bool)
     U_mask = np.asarray(U_mask, dtype=bool)
-
-    # keys[a, b, kk, i] = ci(a, i) * nc + cj(b, kk, i)
-    ci = U_cols[:, None, None, :]                       # (W,1,1,N)
-    cj = U_cols[:, A_indices][None, :, :, :]            # (1,W,K,N)
-    keys = np.ascontiguousarray(
-        np.broadcast_to(ci * ncoarse + cj, (w, w, k, n)).reshape(-1)
-    )
-    valid = (
-        U_mask[:, None, None, :]
-        & U_mask[:, A_indices][None, :, :, :]
-        & mask[None, None, :, :]
-    ).reshape(-1)
     big = np.int64(ncoarse) * np.int64(ncoarse) + 1
-    keys[~valid] = big
 
-    from .native import galerkin_dedup
+    from .native import galerkin_dedup, galerkin_keys
+
+    # keys[a, b, kk, i] = ci(a, i) * nc + cj(b, kk, i); invalid -> big
+    keys = galerkin_keys(A_indices, mask, U_cols, U_mask, ncoarse, int(big))
+    if keys is None:  # numpy fallback (native toolchain absent)
+        ci = U_cols[:, None, None, :]                    # (W,1,1,N)
+        cj = U_cols[:, A_indices][None, :, :, :]         # (1,W,K,N)
+        keys = np.ascontiguousarray(
+            np.broadcast_to(ci * ncoarse + cj, (w, w, k, n)).reshape(-1)
+        )
+        valid = (
+            U_mask[:, None, None, :]
+            & U_mask[:, A_indices][None, :, :, :]
+            & mask[None, None, :, :]
+        ).reshape(-1)
+        keys[~valid] = big
 
     native = galerkin_dedup(keys, int(big))
     if native is not None:
