@@ -25,6 +25,7 @@ from ..utils.neighbors import homogenize_edges, neighbors_to_edges
 from .cluster import cluster_labels
 from .prolongation import prolongation_weights
 from .sampling import (
+    edge_lengths_np,
     farthest_point_sample,
     parallel_disk_sample,
     poisson_disk_sample,
@@ -150,21 +151,25 @@ def build_hierarchy(
     level_pos, level_neigh = pos, neigh
     k = 0
     while dof[k] > lower_bound and k < max_levels:
-        radius = float(np.cbrt(ratio)) * float(
-            _avg_edge_length(
-                jnp.asarray(level_pos, jnp.float32), jnp.asarray(level_neigh)
-            )
-        )
+        # One host-side edge-length table per level, shared by the radius
+        # rule, sampler and clustering (avoids per-phase eager jnp glue —
+        # each eager op costs a per-level-shape compile through the relay).
+        edge_d = edge_lengths_np(level_pos, level_neigh)
+        finite = np.isfinite(edge_d) & (edge_d > 0)
+        avg_e = float(edge_d[finite].mean()) if finite.any() else 1.0
+        radius = float(np.cbrt(ratio)) * avg_e
 
         t0 = time.perf_counter()
         strat = Sampling(sampling_strategy)
         if strat == Sampling.FASTDISK:
             samples, _ = parallel_disk_sample(
-                level_pos, level_neigh, radius, two_ring=True, seed=seed + k
+                level_pos, level_neigh, radius, two_ring=True, seed=seed + k,
+                dist=edge_d,
             )
         elif strat == Sampling.MIS:
             samples, _ = parallel_disk_sample(
-                level_pos, level_neigh, radius, two_ring=False, seed=seed + k
+                level_pos, level_neigh, radius, two_ring=False, seed=seed + k,
+                dist=edge_d,
             )
         elif strat == Sampling.RANDOM:
             samples = random_sample(dof[k], int(dof[k] / ratio), seed=seed + k)
@@ -189,7 +194,9 @@ def build_hierarchy(
             print(f"level {k}: {dof[k]} -> {nc} (radius {radius:.4g})")
 
         t0 = time.perf_counter()
-        labels, _D = cluster_labels(level_pos, samples, level_neigh)
+        labels, _D = cluster_labels(
+            level_pos, samples, level_neigh, dist=edge_d
+        )
         timing["cluster"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -47,27 +47,32 @@ def cluster_labels(
     samples: np.ndarray,
     neigh: np.ndarray,
     max_rounds: int = 256,
+    dist: np.ndarray | None = None,
 ):
     """Label every vertex with its nearest sample (graph distance).
 
     Returns ``(labels, D)`` where labels[i] in [0, len(samples)) and D is
     the graph distance to the owning sample.  Matches the contract of the
-    reference's ``nearestSource``/``D`` outputs.
+    reference's ``nearestSource``/``D`` outputs.  Init vectors and edge
+    lengths are built host-side (numpy) — eager jnp glue would pay a
+    per-level compile cascade through the TPU relay.
     """
-    n = pos.shape[0]
-    neigh_d = jnp.asarray(neigh, dtype=jnp.int32)
-    pos_d = jnp.asarray(pos, dtype=jnp.float32)
-    safe_nb = jnp.maximum(neigh_d, 0)
-    dist = jnp.linalg.norm(pos_d[safe_nb] - pos_d[:, None, :], axis=-1)
-    dist = jnp.where(neigh_d >= 0, dist, jnp.inf)
+    from .sampling import edge_lengths_np
 
-    D0 = jnp.full(n, jnp.inf, dtype=jnp.float32)
-    D0 = D0.at[jnp.asarray(samples)].set(0.0)
-    label0 = jnp.zeros(n, dtype=jnp.int32)
-    label0 = label0.at[jnp.asarray(samples)].set(
-        jnp.arange(len(samples), dtype=jnp.int32)
+    n = pos.shape[0]
+    if dist is None:
+        dist = edge_lengths_np(np.asarray(pos, np.float64), neigh)
+    neigh_d = jnp.asarray(neigh, dtype=jnp.int32)
+    dist = jnp.asarray(dist, dtype=jnp.float32)
+
+    D0_np = np.full(n, np.inf, dtype=np.float32)
+    D0_np[samples] = 0.0
+    label0_np = np.zeros(n, dtype=np.int32)
+    label0_np[samples] = np.arange(len(samples), dtype=np.int32)
+    D, label, _ = _bellman_ford(
+        jnp.asarray(D0_np), jnp.asarray(label0_np), neigh_d, dist,
+        max_rounds=max_rounds,
     )
-    D, label, _ = _bellman_ford(D0, label0, neigh_d, dist, max_rounds=max_rounds)
     D = np.asarray(D)
     label = np.asarray(label)
     unreached = ~np.isfinite(D)

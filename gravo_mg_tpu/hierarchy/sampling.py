@@ -17,6 +17,7 @@ jittable, deterministic given the seed.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +85,21 @@ def _luby_round(status, rank, neigh, dist, radius, *, two_ring, block):
     return status, jnp.sum(status == UNDECIDED)
 
 
+def edge_lengths_np(pos: np.ndarray, neigh: np.ndarray) -> np.ndarray:
+    """(N, K) float32 edge lengths, inf at padding — host-side.
+
+    Kept in numpy deliberately: eager jnp glue here would dispatch a
+    per-level-shape compile cascade through the TPU relay (~0.4 s per tiny
+    op) and hit XLA's scalar-unit gather.
+    """
+    safe = np.maximum(neigh, 0)
+    d = np.linalg.norm(
+        pos[safe] - pos[:, None, :], axis=-1
+    ).astype(np.float32)
+    d[neigh < 0] = np.inf
+    return d
+
+
 def parallel_disk_sample(
     pos: np.ndarray,
     neigh: np.ndarray,
@@ -93,19 +109,20 @@ def parallel_disk_sample(
     seed: int = 0,
     block: int = 65536,
     max_rounds: int = 200,
+    dist: Optional[np.ndarray] = None,
 ):
     """Sample coarse points: parallel analog of fastDiskSample / MIS.
 
     Returns ``(samples, status)``: sample vertex indices in ascending order
-    and the per-vertex status array.
+    and the per-vertex status array.  ``dist`` lets the caller share one
+    precomputed edge-length table across phases.
     """
     n, k = neigh.shape
     block = min(block, max(256, n))
+    if dist is None:
+        dist = edge_lengths_np(np.asarray(pos, np.float64), neigh)
     neigh = jnp.asarray(neigh, dtype=jnp.int32)
-    pos_d = jnp.asarray(pos, dtype=jnp.float32)
-    safe_nb = jnp.maximum(neigh, 0)
-    dist = jnp.linalg.norm(pos_d[safe_nb] - pos_d[:, None, :], axis=-1)
-    dist = jnp.where(neigh >= 0, dist, jnp.inf)
+    dist = jnp.asarray(dist, dtype=jnp.float32)
 
     rng = np.random.default_rng(seed)
     rank = jnp.asarray(rng.permutation(n).astype(np.int32))
