@@ -132,7 +132,11 @@ class ConformalFlow:
         self._rebuild_mass()
         lhs = (self.M + self.tau * self.S).tocsr()
         rhs = self.M @ self.V
-        x = self.solver.solve(lhs, rhs)
+        old_tol, self.solver.tolerance = self.solver.tolerance, float(tol)
+        try:
+            x = self.solver.solve(lhs, rhs)
+        finally:
+            self.solver.tolerance = old_tol
         V = np.asarray(x)
         # Area (or bounding-box for point clouds) renormalization +
         # recentering, as in conformal_flow.py's per-step normalize.

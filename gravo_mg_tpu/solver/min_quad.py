@@ -147,10 +147,13 @@ class MinQuadWithFixedMG:
         squeeze = B.ndim == 1
         B2 = B[:, None] if squeeze else B
         Y = np.asarray(Y, dtype=np.float64)
-        Y2 = Y[:, None] if squeeze and Y.ndim == 1 else np.atleast_2d(Y)
-        if Y2.shape[0] != self.known.size:
-            Y2 = Y2.reshape(self.known.size, -1)
-        rhs = B2[self.unknown] - (self.A_uk @ Y2 if self.known.size else 0.0)
+        if self.known.size:
+            Y2 = Y[:, None] if squeeze and Y.ndim == 1 else np.atleast_2d(Y)
+            if Y2.shape[0] != self.known.size:
+                Y2 = Y2.reshape(self.known.size, -1)
+            rhs = B2[self.unknown] - self.A_uk @ Y2
+        else:
+            rhs = B2[self.unknown]
 
         if x0 is not None:
             x0 = np.asarray(x0, dtype=np.float64)
@@ -162,5 +165,6 @@ class MinQuadWithFixedMG:
         xu2 = xu[:, None] if xu.ndim == 1 else xu
         x = np.empty((self.n, B2.shape[1]), dtype=np.float64)
         x[self.unknown] = xu2
-        x[self.known] = Y2
+        if self.known.size:
+            x[self.known] = Y2
         return (x[:, 0] if squeeze else x), iters, res, conv
