@@ -188,9 +188,15 @@ class MultigridSolver:
 
     # ---- solving -----------------------------------------------------------
 
+    # How many LHS-pattern contexts to keep alive per solver.  The
+    # reference harness alternates between an input-smoothing system and
+    # the measured LHS (comparisons.py:150); an LRU > 1 keeps both
+    # contexts' plans/layouts warm instead of replanning on every swap.
+    _CONTEXT_LRU = 4
+
     def _context(self, lhs) -> MultigridSolveContext:
         key = (_pattern_key(lhs), id(self.hierarchy))
-        ctx = self._contexts.get(key)
+        ctx = self._contexts.pop(key, None)  # re-insert to refresh LRU order
         cfg = SolverConfig(
             cycle_type=self.cycle_type,
             pre_iters=self.pre_iters,
@@ -201,10 +207,17 @@ class MultigridSolver:
             ctx = MultigridSolveContext(
                 self.hierarchy, lhs, self.mass, cfg, dtype=self.dtype
             )
-            self._contexts.clear()  # keep at most one pattern cached
-            self._contexts[key] = ctx
+            while len(self._contexts) >= self._CONTEXT_LRU:
+                self._contexts.pop(next(iter(self._contexts)))
         else:
-            ctx.update_lhs(lhs)
+            # Same pattern: value-only update unless it is literally the
+            # same matrix content (cheap check via data buffer equality).
+            lhs2 = lhs.tocsr()
+            if lhs2.data.shape != ctx.lhs_csr.data.shape or not np.array_equal(
+                lhs2.data, ctx.lhs_csr.data
+            ):
+                ctx.update_lhs(lhs2)
+        self._contexts[key] = ctx
         return ctx
 
     def solve(self, lhs, rhs, x0=None, mode: str = "traced"):

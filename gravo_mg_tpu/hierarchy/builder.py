@@ -176,18 +176,21 @@ def build_hierarchy(
         elif strat == Sampling.POISSONDISK:
             samples = poisson_disk_sample(level_pos, radius, seed=seed + k)
         elif strat == Sampling.FPS:
-            if k == 0:
-                samples = farthest_point_sample(
-                    level_pos, level_neigh, int(dof[k] / ratio)
-                )
-            else:
-                samples = np.arange(int(dof[k] / ratio), dtype=np.int32)
+            # Per-level FPS like the reference (sampling.cpp:6-66 runs for
+            # every level's graph, multigrid_solver.cpp:134-141).
+            samples = farthest_point_sample(
+                level_pos, level_neigh, int(dof[k] / ratio), dist=edge_d
+            )
         else:
             raise ValueError(f"unknown sampling strategy {sampling_strategy}")
         timing["sampling"] += time.perf_counter() - t0
 
-        if len(samples) < lower_bound and k > 0:
-            break  # keep at least one level when the mesh is coarsenable
+        # Reference semantics (multigrid_solver.cpp:103): coarsen while
+        # DoF[k] > lowBound — the level that lands *below* the bound is
+        # kept, so the coarsest dense solve is at most ~lowBound rows.
+        # Only degenerate samplings are rejected.
+        if len(samples) < 8 and k > 0:
+            break
         nc = len(samples)
         dof.append(nc)
         if verbose:

@@ -266,37 +266,51 @@ def prolongation_weights(
             adj &= (blk >= 0)[:, None, :]
             pair_adj_np[s:e] = adj[:, pi_np, pj_np]
 
-    Q = jnp.asarray(coarse_pos, dtype=jnp.float32)
-    cn = jnp.asarray(coarse_neigh, dtype=jnp.int32)
-    ek = jnp.asarray(pair_adj_np)
-    sol = jnp.asarray(
-        samples if samples is not None else np.zeros(nc, dtype=np.int32),
-        dtype=jnp.int32,
-    )
+    # This is once-per-build host-side plan construction: run it on the
+    # host CPU backend even when the default backend is a TPU — the batched
+    # geometry is gather-heavy (scalar-unit on TPU) and each level's shapes
+    # would recompile through the relay.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
 
-    out_cols = np.empty((n, 3), dtype=np.int32)
-    out_w = np.empty((n, 3), dtype=np.float32)
-    stats = np.zeros(3, dtype=np.int64)
-    block = min(block, n)
-    for start in range(0, n, block):
-        end = min(start + block, n)
-        bsl = slice(start, end)
-        # Pad the tail block to the static block size.
-        pad = block - (end - start)
-        p_b = np.asarray(fine_pos[bsl], dtype=np.float32)
-        c_b = np.asarray(labels[bsl], dtype=np.int32)
-        r_b = np.arange(start, end, dtype=np.int32)
-        if pad:
-            p_b = np.concatenate([p_b, np.zeros((pad, 3), np.float32)])
-            c_b = np.concatenate([c_b, np.zeros(pad, np.int32)])
-            r_b = np.concatenate([r_b, np.full(pad, -1, np.int32)])
-        cols_b, w_b, st_b = _weights_block(
-            jnp.asarray(p_b), jnp.asarray(c_b), jnp.asarray(r_b),
-            Q, cn, ek, sol,
-            check_voronoi=check_voronoi, nested=nested,
-            weighting=int(weighting), kc=kc,
+    dev_ctx = (
+        jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    )
+    with dev_ctx:
+        Q = jnp.asarray(coarse_pos, dtype=jnp.float32)
+        cn = jnp.asarray(coarse_neigh, dtype=jnp.int32)
+        ek = jnp.asarray(pair_adj_np)
+        sol = jnp.asarray(
+            samples if samples is not None else np.zeros(nc, dtype=np.int32),
+            dtype=jnp.int32,
         )
-        out_cols[bsl] = np.asarray(cols_b)[: end - start]
-        out_w[bsl] = np.asarray(w_b)[: end - start]
-        stats += np.asarray(st_b)
+
+        out_cols = np.empty((n, 3), dtype=np.int32)
+        out_w = np.empty((n, 3), dtype=np.float32)
+        stats = np.zeros(3, dtype=np.int64)
+        block = min(block, n)
+        for start in range(0, n, block):
+            end = min(start + block, n)
+            bsl = slice(start, end)
+            # Pad the tail block to the static block size.
+            pad = block - (end - start)
+            p_b = np.asarray(fine_pos[bsl], dtype=np.float32)
+            c_b = np.asarray(labels[bsl], dtype=np.int32)
+            r_b = np.arange(start, end, dtype=np.int32)
+            if pad:
+                p_b = np.concatenate([p_b, np.zeros((pad, 3), np.float32)])
+                c_b = np.concatenate([c_b, np.zeros(pad, np.int32)])
+                r_b = np.concatenate([r_b, np.full(pad, -1, np.int32)])
+            cols_b, w_b, st_b = _weights_block(
+                jnp.asarray(p_b), jnp.asarray(c_b), jnp.asarray(r_b),
+                Q, cn, ek, sol,
+                check_voronoi=check_voronoi, nested=nested,
+                weighting=int(weighting), kc=kc,
+            )
+            out_cols[bsl] = np.asarray(cols_b)[: end - start]
+            out_w[bsl] = np.asarray(w_b)[: end - start]
+            stats += np.asarray(st_b)
     return out_cols, out_w, stats

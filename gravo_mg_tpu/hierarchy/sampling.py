@@ -1,17 +1,25 @@
-"""Parallel coarse-point sampling.
+"""Coarse-point sampling: native greedy sweep + Luby-round fallback.
 
 The reference's samplers are sequential greedy sweeps in vertex order
 (`fastDiskSample`, `gravomg/src/multigrid_solver.cpp:975-1013`;
 `maximumDeltaIndependentSet`, `:930-973`): visit vertices 0..N-1, keep a
 vertex if not yet covered, and mark every vertex within graph distance
-``radius`` (1 hop for MIS, <=2 hops for fastdisk) as covered.  That order
-dependence does not parallelize, so here the same contract — a maximal set
-of samples pairwise at least ``radius`` apart, covering all vertices — is
-computed with **Luby-style rounds**: every vertex draws a random priority,
-and each round all undecided vertices that hold the minimum priority within
-their conflict ball join the sample set simultaneously; their conflict
-balls become dominated.  O(log N) rounds of O(N*K^2) vectorized work, fully
-jittable, deterministic given the seed.
+``radius`` (1 hop for MIS, <=2 hops for fastdisk) as covered.
+
+Two engines provide that contract (a maximal set of samples pairwise at
+least ``radius`` apart, covering all vertices):
+
+* **native greedy** (default): the one-pass sweep in C++
+  (native/gravomg_native.cpp `disk_sample`).  Sampling is a once-per-build
+  host-side *plan construction* step, inherently memory-bound — a serial
+  C++ pass (0.2 s at 1M vertices) beats any device formulation dispatched
+  through the TPU relay by orders of magnitude, and is deterministic
+  independent of the seed, like the reference.
+* **Luby-style rounds** (fallback / opt-in via ``engine="luby"``): every
+  vertex draws a random priority; each round all undecided vertices that
+  hold the minimum priority within their conflict ball join the sample set
+  simultaneously.  O(log N) jittable rounds — retained as the fully
+  vectorized formulation (it is the one that would scale past host memory).
 """
 
 from __future__ import annotations
@@ -110,17 +118,27 @@ def parallel_disk_sample(
     block: int = 65536,
     max_rounds: int = 200,
     dist: Optional[np.ndarray] = None,
+    engine: str = "auto",
 ):
-    """Sample coarse points: parallel analog of fastDiskSample / MIS.
+    """Sample coarse points: fastDiskSample / MIS contract.
 
     Returns ``(samples, status)``: sample vertex indices in ascending order
     and the per-vertex status array.  ``dist`` lets the caller share one
-    precomputed edge-length table across phases.
+    precomputed edge-length table across phases.  ``engine``: "auto" uses
+    the native greedy sweep when available, "luby" forces the vectorized
+    rounds (see module docstring).
     """
     n, k = neigh.shape
     block = min(block, max(256, n))
     if dist is None:
         dist = edge_lengths_np(np.asarray(pos, np.float64), neigh)
+    if engine != "luby":
+        from ..native import disk_sample_native
+
+        status_np = np.zeros(n, dtype=np.int8)
+        if disk_sample_native(neigh, dist, radius, two_ring, status_np):
+            samples = np.nonzero(status_np == SAMPLE)[0].astype(np.int32)
+            return samples, status_np
     neigh = jnp.asarray(neigh, dtype=jnp.int32)
     dist = jnp.asarray(dist, dtype=jnp.float32)
 
@@ -177,11 +195,25 @@ def poisson_disk_sample(pos: np.ndarray, radius: float, seed: int = 0) -> np.nda
     return np.nonzero(status == SAMPLE)[0].astype(np.int32)
 
 
-def farthest_point_sample(pos: np.ndarray, neigh: np.ndarray, target: int) -> np.ndarray:
+def farthest_point_sample(pos: np.ndarray, neigh: np.ndarray, target: int,
+                          dist: Optional[np.ndarray] = None) -> np.ndarray:
     """Graph farthest-point sampling (reference `constructFarthestPointSample`,
-    gravomg/src/sampling.cpp:6-40): repeatedly add the vertex farthest (in
-    graph distance) from the current sample set.  Host-side via scipy
-    csgraph; intended for small inputs (it is an opt-in strategy)."""
+    gravomg/src/sampling.cpp:6-66): repeatedly add the vertex farthest (in
+    graph distance) from the current sample set.
+
+    Native path: incremental Dijkstra in C++ (adding a sample relaxes only
+    vertices whose distance improves — O(E log E) amortized over all rounds,
+    usable at every hierarchy level).  Fallback: scipy repeated full
+    Dijkstra, same semantics, for small inputs.
+    """
+    from ..native import fps_graph_native
+
+    if dist is None:
+        dist = edge_lengths_np(np.asarray(pos, np.float64), neigh)
+    native = fps_graph_native(neigh, dist, int(target))
+    if native is not None:
+        return np.sort(native).astype(np.int32)
+
     import scipy.sparse as sp
     from scipy.sparse.csgraph import dijkstra
 

@@ -76,7 +76,10 @@ def build_hierarchy_sig06(
         )
         timing["sampling"] += time.perf_counter() - t0
         nc = len(samples)
-        if (nc < lower_bound and k > 0) or (k > 1 and nc / dof[k] > 0.9):
+        # Levels below lower_bound are kept (reference loop semantics,
+        # multigrid_solver.cpp:103); only degenerate/stalled coarsenings
+        # are rejected.
+        if (nc < 8 and k > 0) or (k > 1 and nc / dof[k] > 0.9):
             break
         dof.append(nc)
         if verbose:
@@ -194,8 +197,8 @@ def build_hierarchy_ablation(
         )
         timing["sampling"] += time.perf_counter() - t0
         nc = len(samples)
-        if nc < lower_bound and k > 0:
-            break
+        if nc < 8 and k > 0:
+            break  # degenerate only; sub-lower_bound levels are kept
         dof.append(nc)
         if verbose:
             print(f"ablation level {k}: {dof[k]} -> {nc}")

@@ -70,6 +70,27 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.shuffle_layout.restype = ctypes.c_int64
+    lib.shuffle_layout.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.disk_sample.restype = None
+    lib.disk_sample.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.dijkstra_cluster.restype = None
+    lib.dijkstra_cluster.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.fps_graph.restype = ctypes.c_int64
+    lib.fps_graph.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
 
@@ -120,6 +141,88 @@ def galerkin_keys(A_idx, A_mask, U_cols, U_mask, ncoarse: int, big: int):
         int(ncoarse), int(big), keys.ctypes.data,
     )
     return keys
+
+
+def shuffle_layout(rows: np.ndarray, cols: np.ndarray, S: int, kc: int,
+                   kp_cap: int):
+    """(kp, q, flat_pos) shuffle-ELL slot assignment, or None.
+
+    ``q`` is returned as (kp, S) int32 (trimmed from the kp_cap
+    capacity buffer); ``flat_pos`` as (nnz,) int64.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    nnz = rows.shape[0]
+    kp_cap = max(int(kp_cap), int(kc))
+    q = np.zeros((kp_cap, int(S)), dtype=np.int32)
+    flat_pos = np.empty(nnz, dtype=np.int64)
+    kp = lib.shuffle_layout(
+        rows.ctypes.data, cols.ctypes.data, nnz, int(S), int(kc), kp_cap,
+        q.ctypes.data, flat_pos.ctypes.data,
+    )
+    if kp < 0:
+        return None
+    return int(kp), q[:kp].copy(), flat_pos
+
+
+def disk_sample_native(neigh: np.ndarray, dist: np.ndarray, radius: float,
+                       two_ring: bool, status: np.ndarray):
+    """Greedy disk sampling (in-place on ``status``); returns False if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    neigh = np.ascontiguousarray(neigh, dtype=np.int32)
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+    n, k = neigh.shape
+    assert status.dtype == np.int8 and status.flags.c_contiguous
+    lib.disk_sample(
+        neigh.ctypes.data, dist.ctypes.data, n, k,
+        ctypes.c_float(float(radius)), int(bool(two_ring)),
+        status.ctypes.data,
+    )
+    return True
+
+
+def dijkstra_cluster_native(neigh: np.ndarray, dist: np.ndarray,
+                            samples: np.ndarray):
+    """(labels, D) exact multi-source Dijkstra, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    neigh = np.ascontiguousarray(neigh, dtype=np.int32)
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+    samples = np.ascontiguousarray(samples, dtype=np.int32)
+    n, k = neigh.shape
+    label = np.empty(n, dtype=np.int32)
+    D = np.empty(n, dtype=np.float32)
+    lib.dijkstra_cluster(
+        neigh.ctypes.data, dist.ctypes.data, n, k,
+        samples.ctypes.data, samples.shape[0],
+        label.ctypes.data, D.ctypes.data,
+    )
+    return label, D
+
+
+def fps_graph_native(neigh: np.ndarray, dist: np.ndarray, target: int,
+                     start: int = 0):
+    """Graph farthest-point sample indices (unsorted), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    neigh = np.ascontiguousarray(neigh, dtype=np.int32)
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+    n, k = neigh.shape
+    target = min(int(target), n)
+    samples = np.empty(max(target, 1), dtype=np.int32)
+    m = lib.fps_graph(
+        neigh.ctypes.data, dist.ctypes.data, n, k, target,
+        np.int32(start), samples.ctypes.data,
+    )
+    return samples[:m].copy()
 
 
 def argsort_i64(keys: np.ndarray):

@@ -19,6 +19,8 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <limits>
+#include <queue>
 #include <vector>
 
 #ifdef _OPENMP
@@ -75,6 +77,18 @@ void parallel_sort_pairs(const int64_t* keys, int64_t n, int64_t key_max,
     std::memcpy(order.data(), src_o, n * sizeof(int64_t));
   }
 }
+
+// Binary min-heap entry (distance, node) with lazy deletion — shared by the
+// multi-source clustering and FPS kernels.
+struct HeapEntry {
+  float d;
+  int32_t v;
+};
+struct HeapCmp {
+  bool operator()(const HeapEntry& a, const HeapEntry& b) const {
+    return a.d > b.d;
+  }
+};
 
 }  // namespace
 
@@ -170,6 +184,181 @@ int64_t unique_i64(const int64_t* keys, int64_t n, int64_t* uniq) {
   return m;
 }
 
-int native_version() { return 1; }
+// Full shuffle-ELL slot assignment (the C++ half of sparse._shuffle_layout;
+// see ShuffleEll in sparse.py for the layout contract).  The numpy
+// formulation spends ~6 s in O(nnz) glue passes at 7.3M nnz; here the
+// post-sort scan is a single pass.
+//   rows/cols: nnz COO coordinates (row-sorted not required)
+//   S: number of 128-row output groups (pre-padded by the caller)
+//   kc: slot-count pad multiple; kp_cap: capacity of q (kp_cap * S int32,
+//   zero-initialized by the caller)
+//   flat_pos[p]: destination of input nnz p in the flattened (KP, S, 128)
+//   slot arrays.
+// Returns KP (padded to a multiple of kc), or -1 if kp_cap is too small.
+int64_t shuffle_layout(const int64_t* rows, const int64_t* cols, int64_t nnz,
+                       int64_t S, int64_t kc, int64_t kp_cap,
+                       int32_t* q, int64_t* flat_pos) {
+  if (nnz == 0) return kc;
+  int64_t max_col = 0;
+  for (int64_t p = 0; p < nnz; ++p) max_col = std::max(max_col, cols[p]);
+  const int64_t nblk = (max_col >> 7) + 1;
+
+  // composite key (group, block, lane); sort once, then one linear scan.
+  std::vector<int64_t> comp(nnz);
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < nnz; ++p) {
+    const int64_t g = rows[p] >> 7, lane = rows[p] & 127, b = cols[p] >> 7;
+    comp[p] = (g * nblk + b) * 128 + lane;
+  }
+  std::vector<int64_t> sorted, order;
+  const int64_t key_max = *std::max_element(comp.begin(), comp.end());
+  parallel_sort_pairs(comp.data(), nnz, key_max, sorted, order);
+
+  int64_t kp = 0, base = 0, m = 0, t = 0;
+  int64_t prev_key = -1, prev_gb = -1, prev_g = -1;
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t key = sorted[i];
+    const int64_t gb = key >> 7, lane = key & 127;
+    const int64_t g = gb / nblk, b = gb - g * nblk;
+    if (gb != prev_gb) {
+      base = (g == prev_g) ? base + m : 0;
+      m = 0;
+      t = 0;
+      prev_gb = gb;
+      prev_g = g;
+      prev_key = -1;
+    }
+    t = (key == prev_key) ? t + 1 : 0;
+    prev_key = key;
+    if (t + 1 > m) {
+      m = t + 1;
+      if (base + t >= kp_cap) return -1;
+      q[(base + t) * S + g] = (int32_t)b;
+    }
+    const int64_t slot = base + t;
+    kp = std::max(kp, slot + 1);
+    flat_pos[order[i]] = (slot * S + g) * 128 + lane;
+  }
+  if (kp % kc) kp += kc - kp % kc;
+  return std::max<int64_t>(kp, kc);
+}
+
+// Greedy disk sampling: the reference's fastDiskSample / MIS contract
+// (visit vertices in index order; an uncovered vertex becomes a sample and
+// covers its <=2-hop radius ball; see multigrid_solver.cpp:930-1013 for the
+// behavioral spec).  Serial one-pass — the fastest formulation on a 2-core
+// host and bit-reproducible.  status: 0 undecided (in) -> 1 sample /
+// 2 dominated (out).  dist is (n, k) edge lengths, inf at padding.
+void disk_sample(const int32_t* neigh, const float* dist, int64_t n,
+                 int64_t k, float radius, int two_ring, int8_t* status) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (status[i] != 0) continue;
+    status[i] = 1;
+    const int32_t* nb = neigh + i * k;
+    const float* db = dist + i * k;
+    for (int64_t a = 0; a < k; ++a) {
+      const int32_t j = nb[a];
+      const float d1 = db[a];
+      if (j < 0 || !(d1 < radius)) continue;
+      if (status[j] == 0) status[j] = 2;
+      if (!two_ring) continue;
+      const int32_t* nb2 = neigh + (int64_t)j * k;
+      const float* db2 = dist + (int64_t)j * k;
+      for (int64_t b = 0; b < k; ++b) {
+        const int32_t l = nb2[b];
+        if (l < 0 || l == i) continue;
+        if (d1 + db2[b] < radius && status[l] == 0) status[l] = 2;
+      }
+    }
+  }
+}
+
+// Exact multi-source Dijkstra over the padded neighbor graph: labels every
+// vertex with the nearest sample (the reference's
+// constructDijkstraWithCluster contract, multigrid_solver.cpp:1015-1056).
+// D/label are outputs; unreachable vertices keep D=inf, label=-1.
+void dijkstra_cluster(const int32_t* neigh, const float* dist, int64_t n,
+                      int64_t k, const int32_t* samples, int64_t ns,
+                      int32_t* label, float* D) {
+  const float inf = std::numeric_limits<float>::infinity();
+  for (int64_t i = 0; i < n; ++i) {
+    D[i] = inf;
+    label[i] = -1;
+  }
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>, HeapCmp> heap;
+  for (int64_t s = 0; s < ns; ++s) {
+    const int32_t v = samples[s];
+    D[v] = 0.0f;
+    label[v] = (int32_t)s;
+    heap.push({0.0f, v});
+  }
+  while (!heap.empty()) {
+    const HeapEntry e = heap.top();
+    heap.pop();
+    if (e.d > D[e.v]) continue;  // stale
+    const int32_t* nb = neigh + (int64_t)e.v * k;
+    const float* db = dist + (int64_t)e.v * k;
+    for (int64_t a = 0; a < k; ++a) {
+      const int32_t j = nb[a];
+      if (j < 0) continue;
+      const float nd = e.d + db[a];
+      if (nd < D[j]) {
+        D[j] = nd;
+        label[j] = label[e.v];
+        heap.push({nd, j});
+      }
+    }
+  }
+}
+
+// Graph farthest-point sampling (reference constructFarthestPointSample,
+// gravomg/src/sampling.cpp:6-66) with incremental Dijkstra: adding a sample
+// relaxes only vertices whose distance improves, so total work is
+// O(E log E) amortized over all rounds instead of target * O(E log E).
+// Returns the number of samples written (== target, or fewer if the graph
+// is smaller/disconnected beyond reach).
+int64_t fps_graph(const int32_t* neigh, const float* dist, int64_t n,
+                  int64_t k, int64_t target, int32_t start,
+                  int32_t* samples) {
+  const float inf = std::numeric_limits<float>::infinity();
+  std::vector<float> D(n, inf);
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>, HeapCmp> heap;
+  int64_t written = 0;
+  int32_t next = start;
+  for (int64_t round = 0; round < target; ++round) {
+    samples[written++] = next;
+    D[next] = 0.0f;
+    heap.push({0.0f, next});
+    while (!heap.empty()) {
+      const HeapEntry e = heap.top();
+      heap.pop();
+      if (e.d > D[e.v]) continue;
+      const int32_t* nb = neigh + (int64_t)e.v * k;
+      const float* db = dist + (int64_t)e.v * k;
+      for (int64_t a = 0; a < k; ++a) {
+        const int32_t j = nb[a];
+        if (j < 0) continue;
+        const float nd = e.d + db[a];
+        if (nd < D[j]) {
+          D[j] = nd;
+          heap.push({nd, j});
+        }
+      }
+    }
+    // farthest reachable vertex becomes the next sample
+    float best = -1.0f;
+    next = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      if (D[i] != inf && D[i] > best) {
+        best = D[i];
+        next = (int32_t)i;
+      }
+    }
+    if (next < 0 || best <= 0.0f) break;
+  }
+  return written;
+}
+
+int native_version() { return 2; }
 
 }  // extern "C"

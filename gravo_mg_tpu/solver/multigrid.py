@@ -4,13 +4,19 @@ Layer L3 of the reference (`MultigridSolver::solve`,
 gravomg/src/multigrid_solver.cpp:1279-1485) rebuilt TPU-first:
 
 * the Galerkin chain ``Abar[k+1] = U_k^T Abar[k] U_k`` (reference
-  ``:1387-1392``) runs on device through precomputed static
-  :class:`~gravo_mg_tpu.sparse.GalerkinPlan` scatter plans;
+  ``:1387-1392``) runs **on the host** in f64 (scipy SpGEMM, ~0.4 s for the
+  whole chain at 1M vertices) — setup is irregular pattern discovery, which
+  is host work in this architecture; the device sees only the static-shape
+  shuffle-ELL operators that come out of it.  Setup issues ZERO device
+  compiles: every per-level artifact (patterns, slot layouts, diagonals,
+  spectral bounds, the coarse Cholesky factor) is computed host-side and
+  uploaded, so first-solve latency is the cycle compile alone;
 * V/F/W cycles (reference ``:1059-1192``) are Python-unrolled over the
   <=10 levels inside a single jitted function — no data-dependent control
   flow, so XLA fuses smoother sweeps, transfers and residuals;
 * the coarsest level (<= lower_bound rows) is densified and Cholesky-
-  factored once per solve (reference ``coarsestSolver``, ``:1401``);
+  factored (host LAPACK, f64) once per solve (reference ``coarsestSolver``,
+  ``:1401``);
 * the outer iterate-to-tolerance loop offers a host-stepped mode that
   records the reference's per-cycle ``(elapsed_ms, residual)`` convergence
   trace (``:1414``) and a fused ``lax.while_loop`` mode for benchmarking.
@@ -31,19 +37,16 @@ from ..enums import CycleType, Smoother
 from ..hierarchy.builder import Hierarchy
 from ..sparse import (
     EllMatrix,
-    GalerkinPlan,
     Prolongation,
-    ShufflePlan,
+    ShuffleEll,
     ShuffleTransfer,
     ell_from_scipy,
-    ell_to_dense,
-    make_galerkin_plan,
     shuffle_from_scipy,
-    shuffle_plan_from_ell,
+    shuffle_plan_arrays,
     spmv,
 )
 from .residual import residual_denominator, residual_norm, residual_numerator
-from .smoothers import chebyshev, estimate_lambda_max, jacobi
+from .smoothers import chebyshev, jacobi
 
 
 @jax.tree_util.register_pytree_node_class
@@ -81,14 +84,13 @@ class SolverConfig:
     cheb_ratio: float = 4.0
     cheb_safety: float = 1.1
     num_levels: int = 0
-    # Mixed precision.  The Galerkin chain runs in the compute dtype (f32)
-    # by default: the exact constant-mode deflation (solve()) plus the
-    # rank-1 nullspace regularization of the coarse factor (below) make
-    # f32 rounding of the near-null eigenvalue harmless even for
-    # regularized Poisson systems (eta*M + S, eta=1e-6) — verified
-    # equivalent to the f64 chain in tests.  The (small) coarse dense
-    # factor always runs in f64.  Set precise_galerkin for an all-f64
-    # chain when x64 is enabled.
+    # Mixed precision.  The Galerkin chain is always computed in f64 on the
+    # host (galerkin_chain_scipy) and cast to the compute dtype at upload;
+    # the exact constant-mode deflation (solve()) plus the rank-1 nullspace
+    # regularization of the coarse factor make f32 compute safe even for
+    # regularized Poisson systems (eta*M + S, eta=1e-6).  The (small)
+    # coarse dense factor always runs in f64.  ``precise_galerkin`` is kept
+    # for API compatibility; the chain is f64 regardless.
     precise_galerkin: bool = False
 
 
@@ -177,139 +179,94 @@ def fused_solve(
     return x, iters, res, trace
 
 
-def build_galerkin_chain(
-    lhs_csr, hierarchy: Hierarchy, dtype=jnp.float32
-) -> Tuple[List[GalerkinPlan], EllMatrix, list]:
-    """Host-side pattern discovery for the whole reduction chain.
+def galerkin_chain_scipy(lhs_csr, U_csr_list) -> list:
+    """Host Galerkin chain ``Abar[k+1] = U_k^T Abar[k] U_k`` in f64.
 
-    Returns (plans, A0_ell, host_patterns).  The chain depends only on the
-    sparsity of the LHS and the hierarchy, so callers cache it across
-    solves with different values (e.g. new tau) or right-hand sides.
+    Replaces the reference's per-solve Eigen SpGEMM
+    (multigrid_solver.cpp:1387-1392) with scipy's SpGEMM — ~0.4 s for the
+    full 3-level chain at 1M vertices / 7.3M nnz.  The output *pattern* is
+    structural (independent of values), so same-pattern LHS updates reuse
+    every downstream layout.  Returns ``[A0, Abar1, ..., Abar_L]`` csr.
     """
-    import scipy.sparse as sp
-
-    A = lhs_csr.tocsr()
+    A = lhs_csr.tocsr().astype(np.float64)
     A.sum_duplicates()
-    A0 = ell_from_scipy(A, dtype=dtype)
-    # Host copy of the finest pattern (transposed (K, N) layout).
-    idx = np.asarray(A0.indices)
-    mask = np.asarray(A0.values) != 0
-    # Ensure structural diagonal entries survive value-zero masking: the
-    # smoother needs the diagonal slot.
-    mask |= idx == np.arange(idx.shape[1])[None, :]
-    plans: List[GalerkinPlan] = []
-    patterns = [(idx, mask)]
-    for lvl in hierarchy.levels:
-        nc = lvl.U.ncoarse
-        plan = make_galerkin_plan(
-            idx, mask, np.asarray(lvl.U.cols), nc,
-            U_mask=np.asarray(lvl.U.weights) != 0,
-        )
-        plans.append(plan)
-        idx = np.asarray(plan.out_ell_idx)
-        src = np.asarray(plan.out_ell_src)
-        mask = src != plan.nnz_out
-        patterns.append((idx, mask))
-    return plans, A0, patterns
+    A.sort_indices()
+    chain = [A]
+    for U in U_csr_list:
+        A = (U.T.tocsr() @ (A @ U)).tocsr()
+        A.sum_duplicates()
+        A.sort_indices()
+        chain.append(A)
+    return chain
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _prepare_level(cfg: SolverConfig, A_chain: EllMatrix, U, plan):
-    """One level's setup: smoother operator + next level's Galerkin reduce.
+def _ell_pattern(A_csr):
+    """Transposed-ELL pattern (idx, structural mask, K) of a csr matrix."""
+    degree = np.diff(A_csr.indptr)
+    k = max(int(degree.max()) if degree.size else 1, 1)
+    n = A_csr.shape[0]
+    idx = np.zeros((k, n), dtype=np.int32)
+    slot = np.arange(A_csr.indices.shape[0]) - np.repeat(A_csr.indptr[:-1], degree)
+    row_ids = np.repeat(np.arange(n), degree)
+    idx[slot, row_ids] = A_csr.indices
+    mask = np.arange(k)[:, None] < degree[None, :]
+    return idx, mask
 
-    Jitted per level (not as one monolith) so peak HBM stays at one
-    level's contribution buffers and the compile cache hits across levels
-    and LHS patterns with matching shapes.
+
+def _ell_values(A_csr, k: int) -> np.ndarray:
+    """(K, N) transposed-ELL values of a csr matrix (host, f64)."""
+    degree = np.diff(A_csr.indptr)
+    n = A_csr.shape[0]
+    vals = np.zeros((k, n), dtype=np.float64)
+    slot = np.arange(A_csr.indices.shape[0]) - np.repeat(A_csr.indptr[:-1], degree)
+    row_ids = np.repeat(np.arange(n), degree)
+    vals[slot, row_ids] = A_csr.data
+    return vals
+
+
+def lambda_max_host(A_csr, diag_inv: np.ndarray, iters: int = 15,
+                    seed: int = 0) -> float:
+    """Spectral radius of D^-1 A by host power iteration (setup-time
+    analog of smoothers.estimate_lambda_max — scipy SpMVs are cheap and
+    avoid per-level device compiles)."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(A_csr.shape[0])
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = diag_inv * (A_csr @ v)
+        lam = np.linalg.norm(w)
+        v = w / max(lam, 1e-30)
+    return float(lam)
+
+
+def coarse_factor_host(A_coarse_csr, null_fix: bool) -> np.ndarray:
+    """Dense f64 Cholesky of the coarsest operator (host LAPACK).
+
+    ``null_fix`` enables the rank-1 nullspace regularization: for
+    near-singular systems (Poisson eta*M + S) the coarse matrix has a
+    near-null constant mode (~1e-9 of its norm) whose Cholesky cannot be
+    computed stably.  Since the outer solve deflates the constant
+    component from the RHS exactly, the coarse correction never needs to
+    produce constants, so adding sigma * (1 1^T)/n — which only moves the
+    near-null eigenvalue — leaves the effective correction unchanged while
+    making the factorization solidly SPD.  A tiny relative diagonal shift
+    plays the role of the reference's LDLT robustness
+    (min_quad_with_fixed_mg.cpp:31-36).
     """
-    A_s = EllMatrix(
-        A_chain.indices,
-        A_chain.values.astype(
-            jnp.float32 if cfg.precise_galerkin else A_chain.values.dtype
-        ),
-        A_chain.ncols,
-    )
-    diag = A_s.diagonal()
-    diag_inv = 1.0 / jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
-    Uc = dataclasses.replace(U, weights=U.weights.astype(A_chain.values.dtype))
-    A_next = plan.reduce(A_chain, Uc)
-    return A_s, diag_inv, A_next
-
-
-@jax.jit
-def _gather_shuffle(plan: ShufflePlan, A: EllMatrix):
-    """Re-lay a level's ELL values into shuffle-ELL (device gather)."""
-    return plan.gather_values(A)
-
-
-@jax.jit
-def _level_lambda(A, diag_inv):
-    return estimate_lambda_max(A, diag_inv)
-
-
-@partial(jax.jit, static_argnames=())
-def _coarse_factor(A_chain: EllMatrix, null_fix):
-    """Dense f64 Cholesky of the coarsest operator.
-
-    ``null_fix`` (traced 0/1) enables the rank-1 nullspace regularization:
-    for near-singular systems (Poisson eta*M + S) the coarse matrix has a
-    near-null constant mode (~1e-9 of its norm) whose Cholesky the TPU
-    cannot factor stably (cond ~ 1e10 -> NaN).  Since the outer solve
-    deflates the constant component from the RHS exactly, the coarse
-    correction never needs to produce constants, so adding
-    sigma * (1 1^T)/n — which only moves the near-null eigenvalue — leaves
-    the effective correction unchanged while making the factorization
-    solidly SPD.  A tiny relative diagonal shift plays the role of the
-    reference's LDLT robustness (min_quad_with_fixed_mg.cpp:31-36).
-    """
-    Ad = ell_to_dense(A_chain)
-    if jax.config.jax_enable_x64:
-        Ad = Ad.astype(jnp.float64)
+    Ad = np.asarray(A_coarse_csr.todense(), dtype=np.float64)
     nc = Ad.shape[0]
-    diag_scale = jnp.mean(jnp.abs(jnp.diag(Ad)))
-    rel_shift = 1e-12 if Ad.dtype == jnp.float64 else 1e-6
-    Ad = Ad + (rel_shift * diag_scale) * jnp.eye(nc, dtype=Ad.dtype)
-    Ad = Ad + (
-        jnp.asarray(null_fix, Ad.dtype) * diag_scale / nc
-    ) * jnp.ones((nc, nc), dtype=Ad.dtype)
-    return jax.scipy.linalg.cholesky(Ad, lower=True)
-
-
-def prepare_levels(cfg: SolverConfig, A0: EllMatrix, Us, plans, null_fix,
-                   shuf_plans=None, transfers=None):
-    """Per-solve setup: Galerkin chain, diagonals, lambda_max, coarse
-    dense Cholesky factor.  Drives the per-level jits.
-
-    Returns (ell_levels, shuffle_levels, coarse_cho): the ELL bundle
-    feeds the GSPMD row-sharded path (parallel/dist.py), the shuffle
-    bundle the single-chip roofline path; both share diagonals and
-    spectral bounds.  shuffle_levels is None when no plans are given.
-    """
-    chain_dtype = (
-        jnp.float64 if cfg.precise_galerkin else A0.values.dtype
-    )
-    A_chain = EllMatrix(A0.indices, A0.values.astype(chain_dtype), A0.ncols)
-    ell_levels = []
-    shuf_levels = []
-    for k in range(cfg.num_levels):
-        A_s, diag_inv, A_chain = _prepare_level(cfg, A_chain, Us[k], plans[k])
-        if shuf_plans is not None:
-            A_shuf = _gather_shuffle(shuf_plans[k], A_s)
-            lam = _level_lambda(A_shuf, diag_inv)
-            shuf_levels.append(LevelOps(A_shuf, diag_inv, lam, transfers[k]))
-        else:
-            lam = _level_lambda(A_s, diag_inv)
-        ell_levels.append(LevelOps(A_s, diag_inv, lam, Us[k]))
-    coarse_cho = _coarse_factor(A_chain, null_fix)
-    return (
-        tuple(ell_levels),
-        tuple(shuf_levels) if shuf_plans is not None else None,
-        coarse_cho,
-    )
+    diag_scale = float(np.mean(np.abs(np.diag(Ad))))
+    Ad[np.diag_indices(nc)] += 1e-12 * diag_scale
+    if null_fix:
+        Ad += diag_scale / nc
+    return np.linalg.cholesky(Ad)
 
 
 class MultigridSolveContext:
     """Caches everything reusable across solves for one (hierarchy, LHS
-    pattern): Galerkin plans, device level ops, coarse factor."""
+    pattern): chain patterns, shuffle layouts, device level ops, coarse
+    factor.  All setup is host-side — no device compiles."""
 
     def __init__(
         self,
@@ -320,65 +277,88 @@ class MultigridSolveContext:
         dtype=jnp.float32,
     ):
         self.hierarchy = hierarchy
-        self.cfg = dataclasses.replace(
-            cfg,
-            num_levels=hierarchy.num_levels,
-            # f64 chain requires x64 mode (enabled by the package import;
-            # honor an explicit opt-out).
-            precise_galerkin=cfg.precise_galerkin
-            and bool(jax.config.jax_enable_x64),
-        )
+        self.cfg = dataclasses.replace(cfg, num_levels=hierarchy.num_levels)
         self.dtype = dtype
         self.timing: dict = {}
 
-        t0 = time.perf_counter()
-        self.plans, self.A0, self.patterns = build_galerkin_chain(
-            lhs_csr, hierarchy, dtype=dtype
-        )
-        self.timing["plan_build"] = (time.perf_counter() - t0) * 1000
         self.lhs_csr = lhs_csr.tocsr()
         self._analyze_lhs()
-
         self.mass_csr = mass_csr.tocsr()
         self.M_ell = ell_from_scipy(mass_csr, dtype=dtype)
         self.M = shuffle_from_scipy(mass_csr, dtype=dtype)
         minv = 1.0 / np.maximum(np.asarray(mass_csr.diagonal()), 1e-30)
         self.Minv_diag = jnp.asarray(minv, dtype=dtype)
 
-        # Shuffle-ELL plans: per-level operator re-layouts (pattern-only,
-        # reused across LHS values) + grid transfers (U / U^T, values
-        # fixed per hierarchy).
+        # --- pattern discovery: f64 scipy Galerkin chain ------------------
         t0 = time.perf_counter()
-        self.shuf_plans = tuple(
-            shuffle_plan_from_ell(idx, mask, idx.shape[1])
-            for (idx, mask) in self.patterns[: hierarchy.num_levels]
-        )
+        self.U_csr = [lvl.U.to_scipy() for lvl in hierarchy.levels]
+        self.Us = tuple(lvl.U for lvl in hierarchy.levels)
+        chain = galerkin_chain_scipy(self.lhs_csr, self.U_csr)
+        self._patterns = [_ell_pattern(A) for A in chain[:-1]]
+        self._ell_k = [p[0].shape[0] for p in self._patterns]
+        self.timing["plan_build"] = (time.perf_counter() - t0) * 1000
+
+        # --- shuffle layouts (pattern-only, reused across LHS values) -----
+        t0 = time.perf_counter()
+        self._shuf_np = [
+            shuffle_plan_arrays(idx, mask, idx.shape[1])
+            for (idx, mask) in self._patterns
+        ]
         self.transfers = tuple(
-            self._build_transfer(lvl) for lvl in hierarchy.levels
+            self._build_transfer(U) for U in self.U_csr
         )
         self.timing["shuffle_plan"] = (time.perf_counter() - t0) * 1000
 
-        self.Us = tuple(lvl.U for lvl in hierarchy.levels)
-        t0 = time.perf_counter()
-        self.ell_levels, self.levels, self.coarse_cho = prepare_levels(
-            self.cfg, self.A0, self.Us, tuple(self.plans),
-            1.0 if self.near_singular else 0.0,
-            self.shuf_plans, self.transfers,
-        )
-        jax.block_until_ready(self.coarse_cho)
-        self.timing["reduction"] = (time.perf_counter() - t0) * 1000
+        # --- values: fill layouts, spectral bounds, coarse factor, upload -
+        self._reduce_and_upload(chain)
 
-    def _build_transfer(self, lvl) -> ShuffleTransfer:
-        Ucsr = lvl.U.to_scipy()
+    def _build_transfer(self, Ucsr) -> ShuffleTransfer:
         return ShuffleTransfer(
             shuffle_from_scipy(Ucsr, dtype=self.dtype),
             shuffle_from_scipy(Ucsr.T.tocsr(), dtype=self.dtype),
         )
 
+    def _reduce_and_upload(self, chain):
+        """Value-dependent half of setup: per-level ELL/shuffle values,
+        diagonals, lambda_max, coarse Cholesky — host-computed, uploaded."""
+        t0 = time.perf_counter()
+        ell_levels = []
+        shuf_levels = []
+        for k in range(self.cfg.num_levels):
+            A = chain[k]
+            idx, mask = self._patterns[k]
+            vals = _ell_values(A, self._ell_k[k])
+            diag = A.diagonal()
+            diag_inv_np = 1.0 / np.where(np.abs(diag) > 1e-30, diag, 1.0)
+            lam = lambda_max_host(A, diag_inv_np)
+            q, r, src = self._shuf_np[k]
+            v = np.append(vals.ravel(), 0.0)[src]
+            A_shuf = ShuffleEll(
+                jnp.asarray(q), jnp.asarray(r),
+                jnp.asarray(v, dtype=self.dtype),
+                A.shape[0], A.shape[1],
+            )
+            A_ell = EllMatrix(
+                jnp.asarray(idx), jnp.asarray(vals, dtype=self.dtype),
+                A.shape[1],
+            )
+            diag_inv = jnp.asarray(diag_inv_np, dtype=self.dtype)
+            lam_j = jnp.asarray(lam, dtype=self.dtype)
+            shuf_levels.append(
+                LevelOps(A_shuf, diag_inv, lam_j, self.transfers[k])
+            )
+            ell_levels.append(LevelOps(A_ell, diag_inv, lam_j, self.Us[k]))
+        self.ell_levels = tuple(ell_levels)
+        self.levels = tuple(shuf_levels)
+        cho = coarse_factor_host(chain[-1], self.near_singular)
+        self.coarse_cho = jnp.asarray(cho)
+        jax.block_until_ready(self.coarse_cho)
+        self.timing["reduction"] = (time.perf_counter() - t0) * 1000
+
     def _analyze_lhs(self):
         """f64 row sums (= A @ 1) and near-singularity detection, used for
         the exact rank-1 deflation of the constant near-null mode (see
-        solve()) and the coarse nullspace fix (see prepare_levels)."""
+        solve()) and the coarse nullspace fix (see coarse_factor_host)."""
         self.row_sums = np.asarray(
             self.lhs_csr.sum(axis=1), dtype=np.float64
         ).ravel()
@@ -390,18 +370,15 @@ class MultigridSolveContext:
 
     def update_lhs(self, lhs_csr):
         """Re-run the value-only reduction for a new LHS with the same
-        sparsity pattern (hierarchy reuse across systems)."""
+        sparsity pattern (hierarchy reuse across systems).  Patterns,
+        shuffle layouts and transfers are reused; only the scipy chain,
+        value fills and the coarse factor recompute (~1 s at 1M)."""
         t0 = time.perf_counter()
         self.lhs_csr = lhs_csr.tocsr()
         self._analyze_lhs()
-        self.A0 = ell_from_scipy(lhs_csr, dtype=self.dtype, pad_to=self.A0.indices.shape[0])
-        self.ell_levels, self.levels, self.coarse_cho = prepare_levels(
-            self.cfg, self.A0, self.Us, tuple(self.plans),
-            1.0 if self.near_singular else 0.0,
-            self.shuf_plans, self.transfers,
-        )
-        jax.block_until_ready(self.coarse_cho)
-        self.timing["reduction"] = (time.perf_counter() - t0) * 1000
+        chain = galerkin_chain_scipy(self.lhs_csr, self.U_csr)
+        self.timing["plan_build"] = (time.perf_counter() - t0) * 1000
+        self._reduce_and_upload(chain)
 
     # ---- solving -----------------------------------------------------------
 

@@ -201,6 +201,13 @@ def _shuffle_layout(rows: np.ndarray, cols: np.ndarray, nr: int, nc: int,
     if nnz == 0:
         q = np.zeros((kc, S), np.int32)
         return kc, S, q, np.zeros((0,), np.int64)
+    from .native import shuffle_layout as native_layout
+
+    kp_cap = int(np.bincount(rows >> 7).max())  # kp <= max nnz per group
+    res = native_layout(rows, cols, S, kc, kp_cap)
+    if res is not None:
+        kp, q, flat_pos = res
+        return kp, S, q, flat_pos
     grp = rows >> 7
     lane = rows & 127
     blk = cols >> 7
@@ -302,11 +309,13 @@ class ShufflePlan:
         )
 
 
-def shuffle_plan_from_ell(idx: np.ndarray, mask: np.ndarray,
-                          ncols: int) -> ShufflePlan:
-    """Build a ShufflePlan from a transposed-ELL pattern (host-side).
+def shuffle_plan_arrays(idx: np.ndarray, mask: np.ndarray, ncols: int):
+    """Host numpy shuffle layout of a transposed-ELL pattern.
 
     ``idx (K, N)`` column indices, ``mask (K, N)`` real-vs-padding.
+    Returns ``(q (KP, S) i32, r (KP, S, 128) i32, src (KP, S, 128) i32)``
+    where ``src`` indexes the flattened (K*N,) ELL values, with K*N
+    meaning padding (route to an appended zero).
     """
     idx = np.asarray(idx)
     mask = np.asarray(mask, dtype=bool)
@@ -321,11 +330,16 @@ def shuffle_plan_from_ell(idx: np.ndarray, mask: np.ndarray,
     src = np.full((kp * s * 128,), k * n, np.int32)
     r[pos] = cols & 127
     src[pos] = ell_pos
+    return q, r.reshape(kp, s, 128), src.reshape(kp, s, 128)
+
+
+def shuffle_plan_from_ell(idx: np.ndarray, mask: np.ndarray,
+                          ncols: int) -> ShufflePlan:
+    """Build a (device) ShufflePlan from a transposed-ELL pattern."""
+    n = np.asarray(idx).shape[1]
+    q, r, src = shuffle_plan_arrays(idx, mask, ncols)
     return ShufflePlan(
-        jnp.asarray(q),
-        jnp.asarray(r.reshape(kp, s, 128)),
-        jnp.asarray(src.reshape(kp, s, 128)),
-        n, int(ncols),
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(src), n, int(ncols)
     )
 
 

