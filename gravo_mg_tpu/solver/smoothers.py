@@ -26,23 +26,28 @@ def jacobi(A: EllMatrix, diag_inv, b, x, iters: int, omega: float = 2.0 / 3.0):
     return x
 
 
-def chebyshev(A: EllMatrix, diag_inv, b, x, degree: int, lam_min, lam_max):
+def chebyshev(A, diag_inv, b, x, degree: int, lam_min, lam_max):
     """Chebyshev polynomial smoother on D^-1 A over [lam_min, lam_max].
 
     Standard three-term recurrence (Saad, Iterative Methods, alg. 12.1);
     equivalent to ``degree`` optimally-weighted Jacobi sweeps targeting the
     high-frequency band.  lam_min/lam_max may be traced scalars.
+
+    ``A`` may be any container ``spmv`` dispatches on, or a callable
+    ``v -> A @ v`` (used by the distributed halo-exchange path, where the
+    operator application includes a ppermute boundary exchange).
     """
+    apply_A = A if callable(A) else (lambda v: spmv(A, v))
     dinv = diag_inv[:, None] if b.ndim == 2 else diag_inv
     theta = 0.5 * (lam_max + lam_min)
     delta = 0.5 * (lam_max - lam_min)
     sigma = theta / delta
     rho = 1.0 / sigma
-    d = (1.0 / theta) * dinv * (b - spmv(A, x))
+    d = (1.0 / theta) * dinv * (b - apply_A(x))
     x = x + d
     for _ in range(degree - 1):
         rho_new = 1.0 / (2.0 * sigma - rho)
-        r = b - spmv(A, x)
+        r = b - apply_A(x)
         d = (rho_new * rho) * d + (2.0 * rho_new / delta) * dinv * r
         x = x + d
         rho = rho_new

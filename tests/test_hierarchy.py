@@ -127,3 +127,30 @@ def test_hierarchy_save_load(sphere_mesh, tmp_path):
     for l1, l2 in zip(h.levels, h2.levels):
         assert np.allclose(np.asarray(l1.U.weights), np.asarray(l2.U.weights))
         assert (np.asarray(l1.U.cols) == np.asarray(l2.U.cols)).all()
+
+
+def test_normals_propagate_through_hierarchy():
+    """Ctor normals are carried per level as cluster-averaged unit vectors
+    (exceeds the reference, whose coarse_normals getter is never filled)."""
+    from gravo_mg_tpu import MultigridSolver
+    from gravo_mg_tpu.utils.laplacian import (
+        cotan_laplacian, mass_voronoi, per_vertex_normals,
+    )
+    from gravo_mg_tpu.utils.meshgen import icosphere
+    from gravo_mg_tpu.utils.neighbors import neighbors_from_faces
+
+    V, F = icosphere(4)
+    N = per_vertex_normals(V, F)
+    M = mass_voronoi(V, F)
+    solver = MultigridSolver(
+        V, neighbors_from_faces(F), M, normals=N, lower_bound=100
+    )
+    cn = solver.coarse_normals
+    assert len(cn) == solver.hierarchy.num_levels
+    for lvl, nrm in zip(solver.hierarchy.levels, cn):
+        assert nrm.shape == (lvl.coarse_points.shape[0], 3)
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-9)
+    # A unit sphere's averaged normals stay outward: dot(normal, pos) > 0.
+    p = solver.hierarchy.levels[0].coarse_points
+    p = p / np.linalg.norm(p, axis=1, keepdims=True)
+    assert (np.sum(cn[0] * p, axis=1) > 0.5).all()
