@@ -111,6 +111,11 @@ class ShardedContext:
     cfg: object
     n_rows: int       # unpadded fine size
     n_rows_pad: int
+    # Deflation data (host, f64): A @ 1 per row and the diagonal scale —
+    # near-singular systems get the same exact rank-1 constant-mode
+    # removal as MultigridSolveContext.solve.
+    row_sums: np.ndarray = None
+    lhs_scale: float = 1.0
 
 
 def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
@@ -156,6 +161,8 @@ def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
         cfg=ctx.cfg,
         n_rows=sizes[0],
         n_rows_pad=pads[0],
+        row_sums=np.asarray(ctx.row_sums, dtype=np.float64),
+        lhs_scale=float(np.abs(ctx.lhs_csr.diagonal()).mean()),
     )
 
 
@@ -189,18 +196,41 @@ def sharded_solve(
     max_iter: int = 100,
     dtype=jnp.float32,
 ):
-    """Iterate-to-tolerance on the sharded operators (fused on device)."""
+    """Iterate-to-tolerance on the sharded operators (fused on device).
+
+    Near-singular systems are deflated exactly like the single-device
+    solve (constant mode removed in f64 on the host, re-added to the
+    output); the residual denominator uses the ORIGINAL rhs.
+    """
     from ..solver.multigrid import fused_solve
     from ..solver.residual import residual_denominator
 
+    rhs = np.asarray(rhs, dtype=np.float64)
+    rhs2 = rhs[:, None] if rhs.ndim == 1 else rhs
+    n = sctx.n_rows
+    alpha = np.zeros(rhs2.shape[1])
+    if sctx.row_sums is not None:
+        denom = float(sctx.row_sums.sum())
+        if abs(denom) > 1e-12 * sctx.lhs_scale * n:
+            alpha = rhs2.sum(axis=0) / denom
+        b_eff = rhs2 - alpha[None, :] * sctx.row_sums[:, None]
+    else:
+        b_eff = rhs2
+    b_eff = b_eff[:, 0] if rhs.ndim == 1 else b_eff
+
     sh = _vec_sharding(sctx, np.ndim(rhs))
-    b = jax.device_put(
+    b_orig = jax.device_put(
         _pad_axis(jnp.asarray(rhs, dtype=dtype), 0, sctx.n_rows_pad), sh
     )
+    b = jax.device_put(
+        _pad_axis(jnp.asarray(b_eff, dtype=dtype), 0, sctx.n_rows_pad), sh
+    )
     x0 = jax.device_put(jnp.zeros_like(b), sh)
-    den = residual_denominator(sctx.M, sctx.Minv_diag, b, criteria)
+    den = residual_denominator(sctx.M, sctx.Minv_diag, b_orig, criteria)
     x, iters, res, trace = fused_solve(
         sctx.cfg, sctx.levels, sctx.coarse_cho, sctx.M, sctx.Minv_diag,
         b, x0, den, jnp.asarray(tol, dtype), criteria, max_iter,
     )
-    return np.asarray(x)[: sctx.n_rows], int(iters), float(res)
+    out = np.asarray(x, dtype=np.float64)[:n]
+    out = out + (alpha[0] if rhs.ndim == 1 else alpha[None, :])
+    return out, int(iters), float(res)

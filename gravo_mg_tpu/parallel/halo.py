@@ -1,0 +1,461 @@
+"""Distributed multigrid with static halo exchange (`shard_map` + ppermute).
+
+This is the performance-grade distribution layer (SURVEY.md §2.5 items
+(a)-(d); BASELINE config 5).  The GSPMD row-sharding in
+:mod:`gravo_mg_tpu.parallel.dist` is correctness-first: its SpMV falls back
+to the generic-gather ELL path, which XLA lowers to the TPU scalar unit
+(~100x off roofline — see ops/shuffle_spmv.py).  Here every device instead
+holds a **local shuffle-ELL block** of each level operator, so the per-chip
+SpMV is the same lane-shuffle kernel as the single-chip solver, and the
+only communication is a *static halo exchange*:
+
+* Host partitioner (once per context): rows of every level operator are
+  block-partitioned over the 1-D ``rows`` mesh.  For each device the
+  off-partition columns it touches form its **halo set** — a static,
+  sorted index list.  Column indices are remapped into the device-local
+  extended space ``[local | halo]``, and the local block is laid out in
+  shuffle-ELL form.
+* Exchange (per operator application): for each ring shift ``s`` with
+  traffic, every device gathers the values its ``(d+s) % D`` neighbor
+  requested (static send-index table) and ships them with a single
+  ``jax.lax.ppermute`` over ICI; received values land at static positions
+  in the halo buffer.  Shifts with zero traffic across all device pairs
+  are skipped at trace time — for locality-ordered meshes only the
+  adjacent shifts survive, so the exchange cost is O(boundary), not
+  O(n/D).
+* The full iterate-to-tolerance loop (Chebyshev/Jacobi smoothing, V/F/W
+  cycle, replicated dense coarse solve, residual criterion with psum)
+  runs inside ONE ``shard_map``-wrapped ``lax.while_loop`` — a single
+  compiled SPMD program per solve.
+
+The restriction is formulated as a gather-SpMV with U^T (coarse-local
+rows, fine columns + fine halo), so no scatter-exchange is ever needed:
+both transfer directions and all smoothing SpMVs use the same halo
+machinery.
+
+Near-singular systems get the same exact rank-1 constant-mode deflation
+as the single-device path (host-side, f64) plus the coarse null-space
+projection — the GSPMD path's missing piece.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..enums import CycleType, Smoother
+from ..solver.smoothers import chebyshev, jacobi
+from ..sparse import ShuffleEll, _shuffle_layout
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@dataclasses.dataclass
+class DistOp:
+    """One row-partitioned sparse operator in per-device shuffle-ELL form.
+
+    All arrays are stacked over a leading device axis ``D`` and sharded
+    ``P('rows')`` into the shard_map, where each device sees its own
+    ``[0]`` slice.  ``steps`` holds the halo-exchange plan: one entry per
+    ring shift with nonzero traffic, ``(shift, send_idx (D, Hs),
+    recv_pos (D, Hs))`` — sender ``d`` gathers ``x_local[send_idx[d]]``
+    for receiver ``(d+s) % D``; the receiver scatters the ppermuted buffer
+    to ``halo[recv_pos[d]]`` (padding routed to dump slot ``H``).
+    """
+
+    q: jnp.ndarray          # (D, KP, S) int32
+    r: jnp.ndarray          # (D, KP, S, 128) int32
+    v: jnp.ndarray          # (D, KP, S, 128)
+    steps: Tuple            # ((shift, send_idx, recv_pos), ...)
+    rows_local: int         # output length per device
+    cols_local: int         # owned input length per device
+    halo: int               # halo buffer length (uniform, padded)
+
+
+def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype) -> DistOp:
+    """Partition a global csr operator into per-device halo-remapped
+    shuffle-ELL blocks (host-side, once per context)."""
+    A = A_csr.tocsr()
+    A.sum_duplicates()
+    nr, nc = A.shape
+    halo_cols: List[np.ndarray] = []
+    blocks = []
+    for d in range(D):
+        r0, r1 = d * rl, min((d + 1) * rl, nr)
+        blk = A[r0:r1].tocoo() if r1 > r0 else None
+        if blk is None or blk.nnz == 0:
+            blocks.append((np.zeros(0, np.int64),) * 2 + (np.zeros(0),))
+            halo_cols.append(np.zeros(0, np.int64))
+            continue
+        rows = blk.row.astype(np.int64)
+        cols = blk.col.astype(np.int64)
+        local = (cols >= d * cl) & (cols < (d + 1) * cl)
+        hc = np.unique(cols[~local])
+        halo_cols.append(hc)
+        blocks.append((rows, cols, blk.data))
+    H = max((len(h) for h in halo_cols), default=0)
+    ncols_ext = cl + H
+
+    # Per-device shuffle layouts with remapped columns; pad to uniform KP.
+    layouts = []
+    kp_max, s_uniform = 1, None
+    for d in range(D):
+        rows, cols, data = blocks[d]
+        hc = halo_cols[d]
+        local = (cols >= d * cl) & (cols < (d + 1) * cl)
+        cmap = np.where(
+            local, cols - d * cl, cl + np.searchsorted(hc, cols)
+        )
+        kp, s, q, pos = _shuffle_layout(rows, cmap, rl, ncols_ext)
+        if s_uniform is None:
+            s_uniform = s
+        assert s == s_uniform
+        kp_max = max(kp_max, kp)
+        layouts.append((kp, q, pos, cmap, data))
+    kp_max = _round_up(kp_max, 4)
+
+    S = s_uniform if s_uniform is not None else _round_up(max(-(-rl // 128), 1), 8)
+    q_all = np.zeros((D, kp_max, S), np.int32)
+    r_all = np.zeros((D, kp_max, S, 128), np.int32)
+    v_all = np.zeros((D, kp_max, S, 128), np.float64)
+    for d, (kp, q, pos, cmap, data) in enumerate(layouts):
+        q_all[d, :kp] = q
+        rf = np.zeros((kp * S * 128,), np.int32)
+        vf = np.zeros((kp * S * 128,), np.float64)
+        rf[pos] = cmap & 127
+        vf[pos] = data
+        r_all[d, :kp] = rf.reshape(kp, S, 128)
+        v_all[d, :kp] = vf.reshape(kp, S, 128)
+
+    # Halo exchange plan: group each device's (sorted) halo set by owner.
+    send: dict = {}
+    recv: dict = {}
+    for d in range(D):
+        hc = halo_cols[d]
+        owners = hc // cl
+        for o in np.unique(owners):
+            o = int(o)
+            s = (d - o) % D
+            sel = owners == o
+            send.setdefault(s, {})[o] = (hc[sel] - o * cl).astype(np.int32)
+            recv.setdefault(s, {})[d] = np.flatnonzero(sel).astype(np.int32)
+    steps = []
+    for s in sorted(send):
+        hs = max(len(v) for v in send[s].values())
+        si = np.zeros((D, hs), np.int32)
+        rp = np.full((D, hs), H, np.int32)  # pad -> dump slot H
+        for o, idx in send[s].items():
+            si[o, : len(idx)] = idx
+        for d, posn in recv[s].items():
+            rp[d, : len(posn)] = posn
+        steps.append((int(s), jnp.asarray(si), jnp.asarray(rp)))
+
+    return DistOp(
+        q=jnp.asarray(q_all),
+        r=jnp.asarray(r_all),
+        v=jnp.asarray(v_all, dtype=dtype),
+        steps=tuple(steps),
+        rows_local=rl,
+        cols_local=cl,
+        halo=H,
+    )
+
+
+def _local_view(op_arrays, meta: DistOp):
+    """Per-device ShuffleEll + exchange tables from the shard_map slices."""
+    q, r, v, step_arrays = op_arrays
+    A = ShuffleEll(
+        q[0], r[0], v[0], meta.rows_local, meta.cols_local + meta.halo
+    )
+    steps = [
+        (shift, si[0], rp[0])
+        for (shift, _, _), (si, rp) in zip(meta.steps, step_arrays)
+    ]
+    return A, steps
+
+
+def _op_leaves(op: DistOp):
+    """The traced-array pytree for one DistOp (statics live on the meta)."""
+    return (op.q, op.r, op.v, tuple((si, rp) for (_, si, rp) in op.steps))
+
+
+def _exchange(x_loc, steps, halo_len: int, axis: str, ndev: int):
+    """Assemble the extended vector [x_local | halo] via ring ppermutes."""
+    if halo_len == 0:
+        return x_loc
+    halo = jnp.zeros((halo_len + 1,), x_loc.dtype)
+    for shift, si, rp in steps:
+        buf = jnp.take(x_loc, si)
+        buf = jax.lax.ppermute(
+            buf, axis, [(i, (i + shift) % ndev) for i in range(ndev)]
+        )
+        halo = halo.at[rp].set(buf)
+    return jnp.concatenate([x_loc, halo[:halo_len]])
+
+
+def _dist_spmv(A: ShuffleEll, steps, halo_len, axis, ndev, x_loc):
+    from ..sparse import shuffle_spmv_1d
+
+    x_ext = _exchange(x_loc, steps, halo_len, axis, ndev)
+    return shuffle_spmv_1d(A, x_ext)
+
+
+@dataclasses.dataclass
+class _LevelMeta:
+    A: DistOp
+    U: DistOp
+    UT: DistOp
+
+
+class HaloContext:
+    """Distributed view of a MultigridSolveContext over a 1-D device mesh.
+
+    Host-builds (once) the per-device operator blocks and exchange plans
+    for every level of the Galerkin chain, the transfers, the mass matrix
+    and the replicated coarse factor; ``solve`` then runs the fused SPMD
+    iterate-to-tolerance program.
+    """
+
+    AXIS = "rows"
+
+    def __init__(self, ctx, mesh: Mesh):
+        assert mesh.axis_names == (self.AXIS,), "expect 1-D ('rows',) mesh"
+        self.mesh = mesh
+        self.ctx = ctx
+        self.cfg = ctx.cfg
+        self.dtype = ctx.dtype
+        D = int(mesh.devices.size)
+        self.ndev = D
+
+        chain = ctx.chain_csr
+        sizes = [A.shape[0] for A in chain]           # n per level (+coarse)
+        self.n = sizes[0]
+        self.nloc = [_round_up(n, D) // D for n in sizes]
+
+        self.levels: List[_LevelMeta] = []
+        diag_inv, lam = [], []
+        for k in range(ctx.cfg.num_levels):
+            nl, nlc = self.nloc[k], self.nloc[k + 1]
+            A = _build_dist_op(chain[k], D, nl, nl, self.dtype)
+            U = _build_dist_op(ctx.U_csr[k], D, nl, nlc, self.dtype)
+            UT = _build_dist_op(
+                ctx.U_csr[k].T.tocsr(), D, nlc, nl, self.dtype
+            )
+            self.levels.append(_LevelMeta(A, U, UT))
+            di = np.zeros((D * nl,), np.float64)
+            di[: sizes[k]] = np.asarray(ctx.ell_levels[k].diag_inv,
+                                        dtype=np.float64)
+            diag_inv.append(jnp.asarray(di.reshape(D, nl), dtype=self.dtype))
+            lam.append(float(np.asarray(ctx.ell_levels[k].lam_max)))
+        self.lam = tuple(lam)
+
+        self.M = _build_dist_op(ctx.mass_csr, D, self.nloc[0], self.nloc[0],
+                                self.dtype)
+        minv = np.zeros((D * self.nloc[0],), np.float64)
+        minv[: self.n] = np.asarray(ctx.Minv_diag, dtype=np.float64)
+        self._minv = jnp.asarray(minv.reshape(D, self.nloc[0]),
+                                 dtype=self.dtype)
+        self._diag_inv = tuple(diag_inv)
+
+        # Replicated coarse factor, identity-padded to the sharded size.
+        cc = np.asarray(ctx.coarse_cho)
+        nc = cc.shape[0]
+        self.nc = nc
+        nc_pad = D * self.nloc[-1]
+        if nc_pad != nc:
+            cp = np.zeros((nc_pad, nc_pad), cc.dtype)
+            cp[:nc, :nc] = cc
+            cp[nc:, nc:] = np.eye(nc_pad - nc, dtype=cc.dtype)
+            cc = cp
+        self._coarse_cho = jnp.asarray(cc)
+
+        self._arrays = (
+            tuple(
+                (_op_leaves(m.A), _op_leaves(m.U), _op_leaves(m.UT))
+                for m in self.levels
+            ),
+            _op_leaves(self.M),
+            self._diag_inv,
+            self._minv,
+        )
+        self._fused = None
+
+    # ---- device code --------------------------------------------------------
+
+    def _smooth(self, dspmv_A, diag_inv, lam_max, b, x, iters):
+        cfg = self.cfg
+        if iters <= 0:
+            return x
+        if cfg.smoother == int(Smoother.JACOBI):
+            return jacobi(dspmv_A, diag_inv, b, x, iters, cfg.jacobi_omega)
+        return chebyshev(
+            dspmv_A, diag_inv, b, x, iters,
+            lam_max / cfg.cheb_ratio, cfg.cheb_safety * lam_max,
+        )
+
+    def _coarse(self, coarse_cho, rc_loc):
+        rc = jax.lax.all_gather(rc_loc, self.AXIS, tiled=True)
+        e = jax.scipy.linalg.cho_solve(
+            (coarse_cho, True), rc.astype(coarse_cho.dtype)[:, None]
+        )[:, 0]
+        if self.cfg.coarse_null_project:
+            e = e - jnp.sum(e) / self.nc
+        e = e.astype(rc_loc.dtype)
+        d = jax.lax.axis_index(self.AXIS)
+        return jax.lax.dynamic_slice(e, (d * self.nloc[-1],),
+                                     (self.nloc[-1],))
+
+    def _cycle(self, ops, coarse_cho, b, x, k: int, kind: int):
+        cfg = self.cfg
+        lvl_arrays, spmvs = ops
+        dspmv_A, dspmv_U, dspmv_UT, diag_inv = spmvs[k]
+        x = self._smooth(dspmv_A, diag_inv, self.lam[k], b, x, cfg.pre_iters)
+        r = b - dspmv_A(x)
+        rc = dspmv_UT(r)
+        if k == cfg.num_levels - 1:
+            e = self._coarse(coarse_cho, rc)
+        else:
+            e = self._cycle(ops, coarse_cho, rc, jnp.zeros_like(rc),
+                            k + 1, kind)
+        x = x + dspmv_U(e)
+        x = self._smooth(dspmv_A, diag_inv, self.lam[k], b, x, cfg.post_iters)
+        if kind != int(CycleType.V):
+            r = b - dspmv_A(x)
+            rc = dspmv_UT(r)
+            if k == cfg.num_levels - 1:
+                e = self._coarse(coarse_cho, rc)
+            else:
+                kind2 = int(CycleType.V) if kind == int(CycleType.F) else kind
+                e = self._cycle(ops, coarse_cho, rc, jnp.zeros_like(rc),
+                                k + 1, kind2)
+            x = x + dspmv_U(e)
+            x = self._smooth(dspmv_A, diag_inv, self.lam[k], b, x,
+                             cfg.post_iters)
+        return x
+
+    def _residual_num_sq(self, dspmv_A, dspmv_M, minv, b, x, criteria: int):
+        r = dspmv_A(x) - b
+        if criteria == 0 or criteria == 3:
+            loc = jnp.sum(r * r)
+        elif criteria == 1:
+            loc = jnp.sum(r * (minv * r))
+        elif criteria == 2:
+            loc = jnp.sum(r * dspmv_M(r))
+        else:
+            raise ValueError(f"unknown stopping criteria {criteria}")
+        return jax.lax.psum(loc, self.AXIS)
+
+    def _make_fused(self, criteria: int, max_iter: int):
+        axis, D = self.AXIS, self.ndev
+        mesh = self.mesh
+
+        def body(arrays, coarse_cho, b_loc, x_loc, den, tol):
+            lvl_arrays, M_arrays, diag_inv, minv = arrays
+            spmvs = []
+            for k, m in enumerate(self.levels):
+                A, sA = _local_view(lvl_arrays[k][0], m.A)
+                U, sU = _local_view(lvl_arrays[k][1], m.U)
+                UT, sUT = _local_view(lvl_arrays[k][2], m.UT)
+                spmvs.append((
+                    partial(_dist_spmv, A, sA, m.A.halo, axis, D),
+                    partial(_dist_spmv, U, sU, m.U.halo, axis, D),
+                    partial(_dist_spmv, UT, sUT, m.UT.halo, axis, D),
+                    diag_inv[k][0],
+                ))
+            Mop, sM = _local_view(M_arrays, self.M)
+            dspmv_M = partial(_dist_spmv, Mop, sM, self.M.halo, axis, D)
+            dspmv_A0 = spmvs[0][0]
+            ops = (lvl_arrays, spmvs)
+
+            def cond(carry):
+                _, it, res = carry
+                return (res > tol) & (it < max_iter)
+
+            def step(carry):
+                x, it, _ = carry
+                x = self._cycle(ops, coarse_cho, b_loc, x, 0,
+                                self.cfg.cycle_type)
+                num_sq = self._residual_num_sq(
+                    dspmv_A0, dspmv_M, minv[0], b_loc, x, criteria
+                )
+                res = jnp.sqrt(num_sq) / den
+                return x, it + 1, res
+
+            x, iters, res = jax.lax.while_loop(
+                cond, step,
+                (x_loc, jnp.int32(0), jnp.asarray(jnp.inf, x_loc.dtype)),
+            )
+            return x, iters, res
+
+        shard_body = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(shard_body)
+
+    # ---- host API ------------------------------------------------------------
+
+    def solve(
+        self,
+        rhs: np.ndarray,
+        *,
+        tol: float = 1e-4,
+        criteria: int = 2,
+        max_iter: int = 100,
+    ):
+        """Deflate (host, f64), run the fused SPMD loop, un-deflate.
+
+        1-D RHS only (multi-RHS solves loop columns host-side — the halo
+        plans and compiled program are shared)."""
+        ctx = self.ctx
+        rhs = np.asarray(rhs, dtype=np.float64).reshape(-1)
+        n, pad0 = self.n, self.ndev * self.nloc[0]
+
+        denom = float(ctx.row_sums.sum())
+        scale = float(np.abs(ctx.lhs_csr.diagonal()).mean())
+        alpha = (
+            rhs.sum() / denom if abs(denom) > 1e-12 * scale * n else 0.0
+        )
+        b_eff = rhs - alpha * ctx.row_sums
+
+        # Residual denominator from the ORIGINAL rhs, host-side f64
+        # (reference residualCheck denominators, multigrid_solver.cpp:1247).
+        M = ctx.mass_csr
+        if criteria == 0:
+            den = np.linalg.norm(rhs)
+        elif criteria == 1:
+            den = float(np.sqrt(rhs @ (rhs / np.maximum(M.diagonal(), 1e-300))))
+        elif criteria == 2:
+            den = float(np.sqrt(rhs @ (M @ rhs)))
+        elif criteria == 3:
+            den = 1.0
+        else:
+            raise ValueError(f"unknown stopping criteria {criteria}")
+        den = max(den, 1e-30)
+
+        b = np.zeros((pad0,), np.float64)
+        b[:n] = b_eff
+        b = jnp.asarray(b, dtype=self.dtype)
+        x0 = jnp.zeros_like(b)
+
+        key = (criteria, max_iter)
+        if self._fused is None or self._fused[0] != key:
+            self._fused = (key, self._make_fused(criteria, max_iter))
+        fused = self._fused[1]
+        x, iters, res = fused(
+            self._arrays, self._coarse_cho, b, x0,
+            jnp.asarray(den, self.dtype), jnp.asarray(tol, self.dtype),
+        )
+        y = np.asarray(x, dtype=np.float64)[:n] + alpha
+        return y, int(iters), float(res)

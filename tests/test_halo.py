@@ -1,0 +1,129 @@
+"""Halo-exchange distributed solver tests (virtual 8-device CPU mesh).
+
+Exercises parallel/halo.py: per-device shuffle-ELL operator blocks,
+static ring-ppermute halo exchange, the fused SPMD while_loop, and the
+sharded deflation path for near-singular systems (SURVEY.md §2.5,
+BASELINE config 5)."""
+
+import numpy as np
+import pytest
+
+from gravo_mg_tpu import MultigridSolver
+from gravo_mg_tpu.parallel.dist import make_solver_mesh, shard_context, sharded_solve
+from gravo_mg_tpu.parallel.halo import HaloContext
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    mesh_data = request.getfixturevalue("medium_mesh")
+    V, M, S, neigh = (
+        mesh_data["V"], mesh_data["M"], mesh_data["S"], mesh_data["neigh"]
+    )
+    rng = np.random.default_rng(0)
+    rhs = M @ rng.standard_normal(V.shape[0])
+    return V, M, S, neigh, rhs
+
+
+def test_halo_solve_matches_single_device(setup):
+    V, M, S, neigh, rhs = setup
+    lhs = (M + 1e-3 * S).tocsr()
+    solver = MultigridSolver(V, neigh, M, lower_bound=200)
+    ctx = solver._context(lhs)
+    x1, it1, r1, _ = ctx.solve(rhs, tol=1e-5, max_iter=50)
+    hctx = HaloContext(ctx, make_solver_mesh(8))
+    x2, it2, r2 = hctx.solve(rhs, tol=1e-5, max_iter=50)
+    assert r2 <= 1e-5
+    assert abs(it1 - it2) <= 1  # same algorithm, same cycle counts
+    scale = max(np.abs(x1).max(), 1e-30)
+    assert np.abs(x1 - x2).max() / scale < 1e-4
+    # residual of the original system, host-verified
+    assert solver.residual(lhs, rhs, x2) <= 2e-5
+
+
+def test_halo_solve_near_singular_deflated(setup):
+    """Sharded Poisson (eta*M + S): deflation + coarse null projection run
+    inside the SPMD program; without them this stalls or NaNs."""
+    V, M, S, neigh, rhs = setup
+    lhs = (1e-6 * M + S).tocsr()
+    solver = MultigridSolver(V, neigh, M, lower_bound=200)
+    ctx = solver._context(lhs)
+    x1, _, _, _ = ctx.solve(rhs, tol=1e-4, max_iter=50)
+    hctx = HaloContext(ctx, make_solver_mesh(8))
+    x2, iters, res = hctx.solve(rhs, tol=1e-4, max_iter=50)
+    assert res <= 1e-4
+    assert iters <= 20
+    scale = max(np.abs(x1).max(), 1e-30)
+    assert np.abs(x1 - x2).max() / scale < 1e-4
+
+
+def test_halo_exchange_only_needed_shifts(setup):
+    """The exchange plan drops ring shifts with no traffic; halo sizes
+    stay a small fraction of the partition size."""
+    V, M, S, neigh, rhs = setup
+    lhs = (M + 1e-3 * S).tocsr()
+    solver = MultigridSolver(V, neigh, M, lower_bound=200)
+    ctx = solver._context(lhs)
+    hctx = HaloContext(ctx, make_solver_mesh(8))
+    for k, lvl in enumerate(hctx.levels):
+        nloc = hctx.nloc[k]
+        assert lvl.A.halo < lhs.shape[0]  # bounded by global size
+        for shift, si, rp in lvl.A.steps:
+            assert 1 <= shift <= 7
+            assert si.shape == rp.shape
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_halo_solve_smaller_meshes(setup, ndev):
+    V, M, S, neigh, rhs = setup
+    lhs = (M + 1e-3 * S).tocsr()
+    solver = MultigridSolver(V, neigh, M, lower_bound=200)
+    ctx = solver._context(lhs)
+    hctx = HaloContext(ctx, make_solver_mesh(ndev))
+    x, iters, res = hctx.solve(rhs, tol=1e-4)
+    assert res <= 1e-4
+    assert solver.residual(lhs, rhs, x) <= 2e-4
+
+
+def test_gspmd_sharded_solve_near_singular(setup):
+    """The GSPMD path also deflates now (previously only well-conditioned
+    systems were tested/handled)."""
+    V, M, S, neigh, rhs = setup
+    lhs = (1e-6 * M + S).tocsr()
+    solver = MultigridSolver(V, neigh, M, lower_bound=200)
+    ctx = solver._context(lhs)
+    sctx = shard_context(ctx, make_solver_mesh(8))
+    x, iters, res = sharded_solve(sctx, rhs, tol=1e-4, max_iter=50)
+    assert np.isfinite(res) and res <= 1e-4
+    x1, _, _, _ = ctx.solve(rhs, tol=1e-4, max_iter=50)
+    scale = max(np.abs(x1).max(), 1e-30)
+    assert np.abs(x1 - x).max() / scale < 1e-3
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("GRAVO_MG_BIG_TESTS"),
+    reason="~6 min; set GRAVO_MG_BIG_TESTS=1 (BASELINE config 5 scale)",
+)
+def test_halo_solve_4m_vertices():
+    """>=4M-vertex distributed smoke (BASELINE config 5 scale analog).
+
+    Measured on the virtual 8-CPU mesh: hierarchy 42s, context 113s, halo
+    build 73s, solve 15 cycles to 1e-4; level-0 halo 4096 of 524288 local
+    rows (0.8%)."""
+    from gravo_mg_tpu.utils.laplacian import cotan_laplacian, mass_barycentric
+    from gravo_mg_tpu.utils.meshgen import torus_mesh
+    from gravo_mg_tpu.utils.neighbors import neighbors_from_faces
+
+    V, F = torus_mesh(2048, 2048)  # 4,194,304 vertices
+    S = cotan_laplacian(V, F)
+    M = mass_barycentric(V, F)
+    neigh = neighbors_from_faces(F)
+    solver = MultigridSolver(V, neigh, M, lower_bound=1000)
+    lhs = (1e-6 * M + S).tocsr()
+    rng = np.random.default_rng(0)
+    rhs = M @ rng.standard_normal(V.shape[0])
+    ctx = solver._context(lhs)
+    hctx = HaloContext(ctx, make_solver_mesh(8))
+    assert hctx.levels[0].A.halo < 0.05 * hctx.nloc[0]  # O(boundary) halo
+    x, iters, res = hctx.solve(rhs, tol=1e-4, max_iter=40)
+    assert res <= 1e-4
+    assert solver.residual(lhs, rhs, x) <= 2e-4
