@@ -16,7 +16,7 @@ import numpy as np
 
 _HERE = pathlib.Path(__file__).resolve().parent
 _SO = _HERE / "libgravomg_native.so"
-_SRC = _HERE / "gravomg_native.cpp"
+_SRCS = [_HERE / "gravomg_native.cpp", _HERE / "ssp_native.cpp"]
 
 _lib = None
 
@@ -26,8 +26,8 @@ def _build() -> bool:
         try:
             subprocess.run(
                 [cxx, "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-                 str(_SRC), "-o", str(_SO)],
-                check=True, capture_output=True, timeout=120,
+                 *[str(s) for s in _SRCS], "-o", str(_SO)],
+                check=True, capture_output=True, timeout=240,
             )
             return True
         except (OSError, subprocess.SubprocessError):
@@ -43,7 +43,10 @@ def get_lib():
     if os.environ.get("GRAVO_MG_NO_NATIVE") == "1":
         _lib = False
         return None
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    stale = not _SO.exists() or any(
+        _SO.stat().st_mtime < s.stat().st_mtime for s in _SRCS if s.exists()
+    )
+    if stale:
         if not _build():
             _lib = False
             return None
@@ -90,6 +93,13 @@ def get_lib():
     lib.fps_graph.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.ssp_decimate.restype = ctypes.c_int64
+    lib.ssp_decimate.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     _lib = lib
     return lib
@@ -223,6 +233,40 @@ def fps_graph_native(neigh: np.ndarray, dist: np.ndarray, target: int,
         np.int32(start), samples.ctypes.data,
     )
     return samples[:m].copy()
+
+
+def ssp_decimate_native(V: np.ndarray, F: np.ndarray, target_nv: int,
+                        dec_type: int):
+    """Intrinsic-prolongation edge-collapse decimation (ssp_native.cpp).
+
+    Returns ``(Vc, Fc, P_cols (nv,3) int64, P_w (nv,3) f64, alive bool)``
+    — the coarse mesh plus per-fine-vertex coarse triangle corners and
+    barycentric weights from the joint-LSCM collapse replay — or None if
+    the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    V = np.ascontiguousarray(V, dtype=np.float64)
+    F = np.ascontiguousarray(F, dtype=np.int64)
+    nv, nf = V.shape[0], F.shape[0]
+    Vc = np.empty((nv, 3), np.float64)
+    Fc = np.empty((max(nf, 1), 3), np.int64)
+    nfc = np.zeros(1, np.int64)
+    P_cols = np.empty((nv, 3), np.int64)
+    P_w = np.empty((nv, 3), np.float64)
+    alive = np.empty(nv, np.int8)
+    nc = lib.ssp_decimate(
+        V.ctypes.data, nv, F.ctypes.data, nf, int(target_nv), int(dec_type),
+        Vc.ctypes.data, Fc.ctypes.data, nfc.ctypes.data,
+        P_cols.ctypes.data, P_w.ctypes.data, alive.ctypes.data,
+    )
+    if nc <= 0:
+        return None
+    return (
+        Vc[:nc].copy(), Fc[: int(nfc[0])].copy(), P_cols, P_w,
+        alive.astype(bool),
+    )
 
 
 def argsort_i64(keys: np.ndarray):

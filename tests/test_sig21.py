@@ -80,3 +80,60 @@ def test_sig21_block_prolongations(sphere_mesh):
         j = U.indices[U.indptr[i]]
         for c in range(3):
             assert abs(B[3 * i + c, 3 * j + c] - U[i, j]) < 1e-12
+
+
+def test_sig21_iters_close_to_ours(medium_mesh):
+    """The intrinsic-prolongation hierarchy should converge at a rate
+    comparable to OURS (the paper's qualitative relationship): iteration
+    counts within 1.5x at tol 1e-6."""
+    V, F, S, M = (
+        medium_mesh["V"], medium_mesh["F"], medium_mesh["S"], medium_mesh["M"]
+    )
+    neigh = medium_mesh["neigh"]
+    lhs = (M + 1e-3 * S).tocsr()
+    rng = np.random.default_rng(0)
+    rhs = M @ rng.standard_normal(V.shape[0])
+    solver = MultigridSolver(
+        V, neigh, M, lower_bound=500, tolerance=1e-6, max_iter=60
+    )
+    solver.solve(lhs, rhs)
+    it_ours = solver.solver_timing["iterations"]
+    solver.construct_sig21_hierarchy(F)
+    solver.toggle_hierarchy(Hierarchy.SIG21)
+    solver.solve(lhs, rhs)
+    it_sig21 = solver.solver_timing["iterations"]
+    assert it_sig21 <= 1.5 * it_ours + 1, (it_sig21, it_ours)
+
+
+def test_sig21_identity_rows_for_survivors(sphere_mesh):
+    """Surviving vertices prolong as exact delta rows (reference
+    get_prolong.cpp: replayed points that never leave their vertex)."""
+    h = build_sig21_hierarchy(
+        sphere_mesh["V"], sphere_mesh["F"], min_coarsest=100
+    )
+    lvl = h.levels[0]
+    U = lvl.U.to_scipy().tocsr()
+    keep = lvl.samples
+    remap = -np.ones(h.dof[0], dtype=np.int64)
+    remap[keep] = np.arange(len(keep))
+    for i in keep[:50]:
+        row = U.getrow(int(i))
+        nz = row.data[np.abs(row.data) > 1e-12]
+        assert len(nz) == 1 and abs(nz[0] - 1.0) < 1e-12
+        assert row.indices[np.abs(row.data) > 1e-12][0] == remap[i]
+
+
+def test_sig21_qslim_beats_midpoint_geometry(sphere_mesh):
+    """QSLIM's optimal placement should reconstruct the fine geometry at
+    least as well as midpoint collapse (quality ordering sanity)."""
+    V = np.asarray(sphere_mesh["V"])
+    errs = {}
+    for dec in (0, 1):
+        h = build_sig21_hierarchy(
+            V, sphere_mesh["F"], min_coarsest=300, max_levels=1, dec_type=dec
+        )
+        lvl = h.levels[0]
+        U = lvl.U.to_scipy()
+        recon = U @ lvl.coarse_points
+        errs[dec] = float(np.linalg.norm(recon - V, axis=1).mean())
+    assert errs[0] <= errs[1] * 1.05, errs
