@@ -23,24 +23,37 @@ def main():
     ap.add_argument("--tau", type=float, default=1e-3)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", type=str, default="/tmp/flow")
+    ap.add_argument("--robust", action="store_true",
+                    help="non-manifold input: mollified robust Laplacian "
+                         "(reference demos/conformal_flow.py:18-30 uses "
+                         "robust_laplacian.mesh_laplacian here)")
     args = ap.parse_args()
 
     from demos.smoothing import load_or_generate, save_obj
 
     from gravo_mg_tpu import MultigridSolver
-    from gravo_mg_tpu.utils.laplacian import cotan_laplacian, mass_voronoi
+    from gravo_mg_tpu.utils.laplacian import (
+        cotan_laplacian,
+        mass_voronoi,
+        mesh_laplacian_robust,
+    )
     from gravo_mg_tpu.utils.neighbors import neighbors_from_faces
     from gravo_mg_tpu.utils.normalize import normalize_area
 
     V, F = load_or_generate(args.input)
     V = normalize_area(V, F)
-    S = cotan_laplacian(V, F)  # initial stiffness, kept fixed (cMCF)
+
+    def operators(V):
+        if args.robust:
+            return mesh_laplacian_robust(V, F)
+        return cotan_laplacian(V, F), mass_voronoi(V, F)
+
+    S, M = operators(V)  # initial stiffness, kept fixed (cMCF)
     neigh = neighbors_from_faces(F)
-    M = mass_voronoi(V, F)
     solver = MultigridSolver(V, neigh, M)
 
     for step in range(args.steps):
-        M = mass_voronoi(V, F)
+        M = operators(V)[1]
         solver._contexts.clear()
         solver.mass = M.tocsr()
         lhs = (M + args.tau * S).tocsr()

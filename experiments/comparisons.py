@@ -27,6 +27,7 @@ from gravo_mg_tpu import Hierarchy, MultigridSolver, Sampling, Weighting
 from gravo_mg_tpu.utils.laplacian import (
     cotan_laplacian,
     mass_voronoi,
+    mesh_laplacian_robust,
     per_vertex_normals,
     point_cloud_laplacian,
 )
@@ -90,18 +91,27 @@ def generated_shapes(sizes):
 
 
 def preprocess(V, args, F=None):
-    """Reference preprocess (comparisons.py:30-55)."""
+    """Reference preprocess (comparisons.py:30-55), incl. the robust
+    (non-manifold-safe) Laplacian branch and --robust_neigh."""
+    robust = args.robust or args.nonmanifold
     if not args.pointcloud:
         V = normalize_area(V, F)
         N = per_vertex_normals(V, F)
-        S = cotan_laplacian(V, F)
-        M = mass_voronoi(V, F)
+        if robust:
+            S, M = mesh_laplacian_robust(V, F)
+        else:
+            S = cotan_laplacian(V, F)
+            M = mass_voronoi(V, F)
     else:
         V = normalize_bounding_box(V)
         N = None
         S, M = point_cloud_laplacian(V)
     Minv = sparse.diags(1.0 / M.diagonal())
-    neigh = neighbors_from_stiffness(S)
+    if args.robust_neigh and not args.pointcloud:
+        S_robust, _ = mesh_laplacian_robust(V, F)
+        neigh = neighbors_from_stiffness(S_robust)
+    else:
+        neigh = neighbors_from_stiffness(S)
     B = S @ Minv @ S
     return V, F, N, M, S, neigh, B
 
@@ -285,7 +295,13 @@ def build_parser():
     p.add_argument("--poisson", action="store_true")
     p.add_argument("--input_smooth", action="store_true")
     p.add_argument("--pointcloud", action="store_true")
-    p.add_argument("--nonmanifold", action="store_true")
+    p.add_argument("--nonmanifold", action="store_true",
+                   help="input meshes are non-manifold: use the robust "
+                        "Laplacian and skip sig21 (needs manifold collapses)")
+    p.add_argument("--robust", action="store_true",
+                   help="use the mollified non-manifold-safe Laplacian "
+                        "(reference comparisons.py --robust)")
+    p.add_argument("--robust_neigh", action="store_true")
     p.add_argument("--all_triangles", action="store_true")
     p.add_argument("--nested", action="store_true")
     p.add_argument("--direct", action="store_true")

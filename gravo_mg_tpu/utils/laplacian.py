@@ -99,6 +99,80 @@ def mass_voronoi(V: np.ndarray, F: np.ndarray) -> sp.csr_matrix:
     return sp.diags(m).tocsr()
 
 
+def mesh_laplacian_robust(V: np.ndarray, F: np.ndarray,
+                          mollify_factor: float = 1e-5):
+    """Non-manifold/degenerate-safe cotan Laplacian + barycentric mass.
+
+    Self-contained replacement for ``robust_laplacian.mesh_laplacian``
+    (reference `experiments/python/comparisons.py:40-47`,
+    `demos/conformal_flow.py:18-30`), in the style of Sharp & Crane 2020
+    "A Laplacian for Nonmanifold Triangle Meshes":
+
+    * the mesh is treated as a polygon soup — faces contribute
+      independently, so edges with any number of incident faces
+      (non-manifold fins, T-junctions through shared vertex indices) just
+      accumulate, no manifoldness assumption anywhere;
+    * **intrinsic mollification**: one global length offset ``delta`` is
+      added to every intrinsic edge length, chosen as the smallest value
+      that gives every face a strict triangle inequality with relative
+      slack ``mollify_factor`` — degenerate/sliver faces become valid
+      intrinsic triangles without moving any vertex;
+    * cotans and areas are then computed purely from the mollified
+      intrinsic lengths (law of cosines + Heron), so no extrinsic
+      degeneracy can produce NaN/inf or blow-up weights.
+
+    (The full tufted-cover intrinsic-Delaunay construction additionally
+    flips edges; mollification alone already guarantees a finite PSD
+    operator with positive mass, which is what the solver needs.)
+
+    Returns ``(S, M)`` — PSD stiffness and diagonal lumped mass.
+    """
+    V = np.asarray(V, dtype=np.float64)
+    F = np.asarray(F, dtype=np.int64)
+    # drop combinatorially degenerate faces (repeated vertex indices)
+    ok = (
+        (F[:, 0] != F[:, 1]) & (F[:, 1] != F[:, 2]) & (F[:, 0] != F[:, 2])
+    )
+    F = F[ok]
+    i0, i1, i2 = F[:, 0], F[:, 1], F[:, 2]
+    l0 = np.linalg.norm(V[i2] - V[i1], axis=1)  # opposite corner 0
+    l1 = np.linalg.norm(V[i0] - V[i2], axis=1)
+    l2 = np.linalg.norm(V[i1] - V[i0], axis=1)
+    mean_l = max(float(np.mean([l0.mean(), l1.mean(), l2.mean()])), 1e-300)
+    eps = mollify_factor * mean_l
+    # smallest delta s.t. every permutation satisfies l_a + l_b >= l_c + eps
+    viol = np.maximum(
+        np.maximum(eps + l0 - l1 - l2, eps + l1 - l2 - l0),
+        eps + l2 - l0 - l1,
+    )
+    delta = max(float(viol.max(initial=0.0)), 0.0)
+    l0, l1, l2 = l0 + delta, l1 + delta, l2 + delta
+    # Heron (numerically stable ordering not critical post-mollification)
+    s = 0.5 * (l0 + l1 + l2)
+    area = np.sqrt(
+        np.maximum(s * (s - l0) * (s - l1) * (s - l2), 1e-300)
+    )
+    # intrinsic cotans from the law of cosines: cot_a = (b^2+c^2-a^2)/(4A)
+    c0 = (l1**2 + l2**2 - l0**2) / (4.0 * area)
+    c1 = (l2**2 + l0**2 - l1**2) / (4.0 * area)
+    c2 = (l0**2 + l1**2 - l2**2) / (4.0 * area)
+    w = 0.5 * np.concatenate([c0, c1, c2])
+    rows = np.concatenate([i1, i2, i0])
+    cols = np.concatenate([i2, i0, i1])
+    n = V.shape[0]
+    W = sp.coo_matrix((w, (rows, cols)), shape=(n, n))
+    W = W + W.T
+    d = np.asarray(W.sum(axis=1)).ravel()
+    S = (sp.diags(d) - W).tocsr()
+    m = np.zeros(n)
+    for k, idx in enumerate((i0, i1, i2)):
+        np.add.at(m, idx, area / 3.0)
+    # isolated vertices get a tiny mass so M stays invertible
+    m = np.where(m > 0, m, max(float(area.mean()), 1e-30) * 1e-3)
+    M = sp.diags(m).tocsr()
+    return S, M
+
+
 def point_cloud_laplacian(V: np.ndarray, k: int = 12):
     """Graph Laplacian + mass for a raw point cloud (no faces).
 

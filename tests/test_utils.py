@@ -124,3 +124,77 @@ def test_normalizers():
     assert np.abs(Vn.mean(axis=0)).max() < 1e-8
     Vb = normalize_bounding_box(V * 3)
     assert abs(np.abs(Vb).max() - 0.5) < 1e-8
+
+
+def _nonmanifold_mesh():
+    """Icosphere with a non-manifold fin (an edge with 3 incident faces),
+    a T-junction vertex, a degenerate sliver face, and a duplicate face."""
+    from gravo_mg_tpu.utils.meshgen import icosphere
+
+    V, F = icosphere(3, bump=0.1)
+    n = V.shape[0]
+    # fin: new vertex glued onto an existing edge of face 0
+    a, b, _ = F[0]
+    fin_v = V.shape[0]
+    V = np.vstack([V, [2.0, 0.0, 0.0]])
+    F = np.vstack([F, [a, b, fin_v]])          # edge (a,b) now has 3 faces
+    # sliver: nearly-collinear triangle
+    sl = V.shape[0]
+    V = np.vstack([V, V[a] + 1e-12 * (V[b] - V[a])])
+    F = np.vstack([F, [a, sl, b]])
+    # duplicate face
+    F = np.vstack([F, F[1]])
+    return V, F, n
+
+
+def test_robust_laplacian_nonmanifold():
+    """mesh_laplacian_robust handles fins/slivers/duplicates: finite PSD
+    stiffness, positive mass (reference comparisons.py --robust via
+    robust_laplacian.mesh_laplacian)."""
+    from gravo_mg_tpu.utils.laplacian import mesh_laplacian_robust
+
+    V, F, _ = _nonmanifold_mesh()
+    S, M = mesh_laplacian_robust(V, F)
+    assert np.isfinite(S.data).all()
+    assert (M.diagonal() > 0).all()
+    # PSD: smallest eigenvalue >= -tol (constant in nullspace)
+    from scipy.sparse.linalg import eigsh
+
+    lam = eigsh(S.astype(np.float64), k=1, which="SA",
+                return_eigenvectors=False, tol=1e-6)
+    assert lam[0] > -1e-8 * abs(S.diagonal()).max()
+    # rows sum to ~0 (Laplacian property survives mollification)
+    assert np.abs(np.asarray(S.sum(axis=1))).max() < 1e-9 * abs(S.data).max()
+
+
+def test_robust_laplacian_solver_end_to_end():
+    """A multigrid solve on the non-manifold mesh converges using the
+    robust operators (the plain cotan path may produce invalid weights)."""
+    from gravo_mg_tpu import MultigridSolver
+    from gravo_mg_tpu.utils.laplacian import mesh_laplacian_robust
+    from gravo_mg_tpu.utils.neighbors import neighbors_from_stiffness
+
+    V, F, _ = _nonmanifold_mesh()
+    S, M = mesh_laplacian_robust(V, F)
+    neigh = neighbors_from_stiffness(S)
+    solver = MultigridSolver(V, neigh, M, lower_bound=80)
+    lhs = (M + 1e-3 * S).tocsr()
+    rng = np.random.default_rng(0)
+    rhs = M @ rng.standard_normal(V.shape[0])
+    x = solver.solve(lhs, rhs)
+    assert solver.residual(lhs, rhs, x) <= 1e-4
+
+
+def test_robust_matches_cotan_on_clean_mesh():
+    """On a clean manifold mesh the mollified operator reduces to the
+    standard cotan Laplacian (delta -> 0)."""
+    from gravo_mg_tpu.utils.laplacian import (
+        cotan_laplacian, mesh_laplacian_robust,
+    )
+    from gravo_mg_tpu.utils.meshgen import icosphere
+
+    V, F = icosphere(3)
+    S0 = cotan_laplacian(V, F)
+    S1, _ = mesh_laplacian_robust(V, F)
+    diff = abs(S0 - S1).max()
+    assert diff < 1e-6 * abs(S0.data).max()
