@@ -180,16 +180,31 @@ def build_hierarchy(
 
         t0 = time.perf_counter()
         strat = Sampling(sampling_strategy)
-        if strat == Sampling.FASTDISK:
-            samples, _ = parallel_disk_sample(
-                level_pos, level_neigh, radius, two_ring=True, seed=seed + k,
-                dist=edge_d,
-            )
-        elif strat == Sampling.MIS:
-            samples, _ = parallel_disk_sample(
-                level_pos, level_neigh, radius, two_ring=False, seed=seed + k,
-                dist=edge_d,
-            )
+        if strat in (Sampling.FASTDISK, Sampling.MIS):
+            # Greedy disk sampling in a seeded random visit order, with the
+            # radius CALIBRATED to deliver the requested coarsening ratio.
+            # The reference sweeps in index order with a fixed radius
+            # (fastDiskSample, multigrid_solver.cpp:975-1013; radius rule
+            # :104) and accepts whatever DoF ratio falls out; on meshes with
+            # raster-ordered vertices that packs samples at minimal spacing
+            # (ratio ~5 instead of 8), inflating every downstream cost.
+            # Deviation (documented): sample counts scale ~1/r^2 on a
+            # surface, so 1-2 radius adjustments land within ~10% of
+            # n/ratio.  Parity = convergence at tolerance (SURVEY §7.3).
+            two_ring = strat == Sampling.FASTDISK
+            rng = np.random.default_rng(seed + k)
+            order = rng.permutation(dof[k]).astype(np.int32)
+            target = max(dof[k] / ratio, 1.0)
+            for _ in range(3):
+                samples, _ = parallel_disk_sample(
+                    level_pos, level_neigh, radius, two_ring=two_ring,
+                    seed=seed + k, dist=edge_d, order=order,
+                )
+                nc = len(samples)
+                if nc <= 1.1 * target or nc <= max(lower_bound, 8):
+                    break
+                # 2-hop marking caps the reachable ball; don't overshoot.
+                radius *= min(float(np.sqrt(nc / target)), 1.6)
         elif strat == Sampling.RANDOM:
             samples = random_sample(dof[k], int(dof[k] / ratio), seed=seed + k)
         elif strat == Sampling.POISSONDISK:

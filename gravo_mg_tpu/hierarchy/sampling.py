@@ -119,6 +119,7 @@ def parallel_disk_sample(
     max_rounds: int = 200,
     dist: Optional[np.ndarray] = None,
     engine: str = "auto",
+    order: Optional[np.ndarray] = None,
 ):
     """Sample coarse points: fastDiskSample / MIS contract.
 
@@ -126,7 +127,10 @@ def parallel_disk_sample(
     and the per-vertex status array.  ``dist`` lets the caller share one
     precomputed edge-length table across phases.  ``engine``: "auto" uses
     the native greedy sweep when available, "luby" forces the vectorized
-    rounds (see module docstring).
+    rounds (see module docstring).  ``order`` sets the greedy visit order
+    (default: index order like the reference's fastDiskSample sweep;
+    the hierarchy builder passes a seeded permutation — raster-ordered
+    meshes otherwise pack samples at minimal spacing and under-coarsen).
     """
     n, k = neigh.shape
     block = min(block, max(256, n))
@@ -136,7 +140,8 @@ def parallel_disk_sample(
         from ..native import disk_sample_native
 
         status_np = np.zeros(n, dtype=np.int8)
-        if disk_sample_native(neigh, dist, radius, two_ring, status_np):
+        if disk_sample_native(neigh, dist, radius, two_ring, status_np,
+                              order=order):
             samples = np.nonzero(status_np == SAMPLE)[0].astype(np.int32)
             return samples, status_np
     neigh = jnp.asarray(neigh, dtype=jnp.int32)

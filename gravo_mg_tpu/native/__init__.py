@@ -84,6 +84,11 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_float, ctypes.c_int, ctypes.c_void_p,
     ]
+    lib.disk_sample_ord.restype = None
+    lib.disk_sample_ord.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.dijkstra_cluster.restype = None
     lib.dijkstra_cluster.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -175,13 +180,21 @@ def shuffle_layout(rows: np.ndarray, cols: np.ndarray, S: int, kc: int,
     )
     if kp < 0:
         return None
-    return int(kp), q[:kp].copy(), flat_pos
+    kp = int(kp)
+    if kp > kp_cap:
+        # The native kernel pads kp up to a multiple of kc, which may
+        # exceed the true-slot capacity bound; the extra rows are zeros.
+        q = np.concatenate([q, np.zeros((kp - kp_cap, int(S)), np.int32)])
+        return kp, q, flat_pos
+    return kp, q[:kp].copy(), flat_pos
 
 
 def disk_sample_native(neigh: np.ndarray, dist: np.ndarray, radius: float,
-                       two_ring: bool, status: np.ndarray):
+                       two_ring: bool, status: np.ndarray,
+                       order: np.ndarray | None = None):
     """Greedy disk sampling (in-place on ``status``); returns False if the
-    native library is unavailable."""
+    native library is unavailable.  ``order`` optionally sets the visit
+    order (default: index order, the reference's sweep)."""
     lib = get_lib()
     if lib is None:
         return False
@@ -189,11 +202,20 @@ def disk_sample_native(neigh: np.ndarray, dist: np.ndarray, radius: float,
     dist = np.ascontiguousarray(dist, dtype=np.float32)
     n, k = neigh.shape
     assert status.dtype == np.int8 and status.flags.c_contiguous
-    lib.disk_sample(
-        neigh.ctypes.data, dist.ctypes.data, n, k,
-        ctypes.c_float(float(radius)), int(bool(two_ring)),
-        status.ctypes.data,
-    )
+    if order is None:
+        lib.disk_sample(
+            neigh.ctypes.data, dist.ctypes.data, n, k,
+            ctypes.c_float(float(radius)), int(bool(two_ring)),
+            status.ctypes.data,
+        )
+    else:
+        order = np.ascontiguousarray(order, dtype=np.int32)
+        assert order.shape[0] == n
+        lib.disk_sample_ord(
+            neigh.ctypes.data, dist.ctypes.data, n, k,
+            ctypes.c_float(float(radius)), int(bool(two_ring)),
+            order.ctypes.data, status.ctypes.data,
+        )
     return True
 
 

@@ -273,6 +273,38 @@ void disk_sample(const int32_t* neigh, const float* dist, int64_t n,
   }
 }
 
+// disk_sample with an explicit visit order.  The reference sweeps vertices
+// in index order (fastDiskSample, multigrid_solver.cpp:979); on meshes
+// whose vertex numbering is raster-ordered (structured grids) that packs
+// samples at the tightest legal spacing and under-coarsens.  A random
+// permutation restores the expected ~1/ratio coarsening while keeping the
+// one-pass greedy contract (maximal set, pairwise >= radius apart).
+void disk_sample_ord(const int32_t* neigh, const float* dist, int64_t n,
+                     int64_t k, float radius, int two_ring,
+                     const int32_t* order, int8_t* status) {
+  for (int64_t t = 0; t < n; ++t) {
+    const int64_t i = order ? (int64_t)order[t] : t;
+    if (status[i] != 0) continue;
+    status[i] = 1;
+    const int32_t* nb = neigh + i * k;
+    const float* db = dist + i * k;
+    for (int64_t a = 0; a < k; ++a) {
+      const int32_t j = nb[a];
+      const float d1 = db[a];
+      if (j < 0 || !(d1 < radius)) continue;
+      if (status[j] == 0) status[j] = 2;
+      if (!two_ring) continue;
+      const int32_t* nb2 = neigh + (int64_t)j * k;
+      const float* db2 = dist + (int64_t)j * k;
+      for (int64_t b = 0; b < k; ++b) {
+        const int32_t l = nb2[b];
+        if (l < 0 || l == i) continue;
+        if (d1 + db2[b] < radius && status[l] == 0) status[l] = 2;
+      }
+    }
+  }
+}
+
 // Exact multi-source Dijkstra over the padded neighbor graph: labels every
 // vertex with the nearest sample (the reference's
 // constructDijkstraWithCluster contract, multigrid_solver.cpp:1015-1056).

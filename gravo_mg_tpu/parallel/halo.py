@@ -251,10 +251,9 @@ class HaloContext:
             )
             self.levels.append(_LevelMeta(A, U, UT))
             di = np.zeros((D * nl,), np.float64)
-            di[: sizes[k]] = np.asarray(ctx.ell_levels[k].diag_inv,
-                                        dtype=np.float64)
+            di[: sizes[k]] = ctx._host_diag_inv[k]
             diag_inv.append(jnp.asarray(di.reshape(D, nl), dtype=self.dtype))
-            lam.append(float(np.asarray(ctx.ell_levels[k].lam_max)))
+            lam.append(float(ctx.host_lam[k]))
         self.lam = tuple(lam)
 
         self.M = _build_dist_op(ctx.mass_csr, D, self.nloc[0], self.nloc[0],
