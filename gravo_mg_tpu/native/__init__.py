@@ -99,6 +99,14 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.prolongation_weights_native.restype = None
+    lib.prolongation_weights_native.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.ssp_decimate.restype = ctypes.c_int64
     lib.ssp_decimate.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -289,6 +297,43 @@ def ssp_decimate_native(V: np.ndarray, F: np.ndarray, target_nv: int,
         Vc[:nc].copy(), Fc[: int(nfc[0])].copy(), P_cols, P_w,
         alive.astype(bool),
     )
+
+
+def prolongation_weights_cpp(fine_pos, labels, coarse_pos, coarse_neigh,
+                             check_voronoi: bool, nested: bool, samples,
+                             weighting: int):
+    """(cols (n,3) i32, w (n,3) f32, stats (3,) i64) or None.
+
+    OpenMP port of the triangle-selection weight sweep (see
+    hierarchy/prolongation.py for the semantics and the reference map)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fine_pos = np.ascontiguousarray(fine_pos, dtype=np.float64)
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    coarse_pos = np.ascontiguousarray(coarse_pos, dtype=np.float64)
+    coarse_neigh = np.ascontiguousarray(coarse_neigh, dtype=np.int32)
+    n = fine_pos.shape[0]
+    nc, kc = coarse_neigh.shape
+    if samples is None:
+        samples = np.full(nc, -1, dtype=np.int32)
+    samples = np.ascontiguousarray(samples, dtype=np.int32)
+    member_idx = np.argsort(labels, kind="stable").astype(np.int32)
+    counts = np.bincount(labels, minlength=nc)
+    member_start = np.zeros(nc + 1, dtype=np.int32)
+    member_start[1:] = np.cumsum(counts)
+    out_cols = np.empty((n, 3), dtype=np.int32)
+    out_w = np.empty((n, 3), dtype=np.float32)
+    stats = np.zeros(3, dtype=np.int64)
+    lib.prolongation_weights_native(
+        fine_pos.ctypes.data, n, labels.ctypes.data,
+        coarse_pos.ctypes.data, nc, coarse_neigh.ctypes.data, kc,
+        int(bool(check_voronoi)), int(bool(nested)), samples.ctypes.data,
+        member_start.ctypes.data, member_idx.ctypes.data,
+        int(weighting), out_cols.ctypes.data, out_w.ctypes.data,
+        stats.ctypes.data,
+    )
+    return out_cols, out_w, stats
 
 
 def argsort_i64(keys: np.ndarray):

@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -392,5 +393,300 @@ int64_t fps_graph(const int32_t* neigh, const float* dist, int64_t n,
 }
 
 int native_version() { return 2; }
+
+// Prolongation weights: the reference's per-fine-vertex triangle-selection
+// sweep (constructProlongation weight phase, multigrid_solver.cpp:287-457)
+// with the argmin-distance containing-triangle deviation documented in
+// hierarchy/prolongation.py.  OpenMP over Voronoi cells; per cell the pair
+// (candidate-triangle) geometry is hoisted out of the member loop — each
+// barycentric coordinate is an affine function of the fine point, so the
+// per-member per-pair cost is three dot products.
+//
+// weighting: 0 barycentric / 1 uniform / 2 inverse-distance
+// (multigrid_solver.h:48-52).  Outputs: cols/w (n,3) row-major, rows sum
+// to 1; stats[3] = {triangle, edge, closest-3} counts over live vertices.
+void prolongation_weights_native(
+    const double* fine_pos, int64_t n, const int32_t* labels,
+    const double* coarse_pos, int64_t nc, const int32_t* coarse_neigh,
+    int64_t kc, int check_voronoi, int nested, const int32_t* samples,
+    const int32_t* member_start, const int32_t* member_idx,
+    int weighting, int32_t* out_cols, float* out_w, int64_t* stats) {
+  const double EPS = 1e-8;
+  const int64_t kp_max = kc * (kc - 1) / 2;
+  std::atomic<int64_t> n_tri(0), n_edge(0), n_fb(0);
+
+  // Sorted copy of each coarse row for O(log kc) adjacency tests.
+  std::vector<int32_t> sorted_neigh((size_t)nc * kc);
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nc; ++c) {
+    int32_t* dst = sorted_neigh.data() + c * kc;
+    std::memcpy(dst, coarse_neigh + c * kc, kc * sizeof(int32_t));
+    std::sort(dst, dst + kc);
+  }
+
+#pragma omp parallel
+  {
+    // Per-pair precomputed affine geometry.
+    std::vector<int32_t> pa(kp_max), pb(kp_max);        // neighbor slots
+    std::vector<double> nhat(kp_max * 3), d0(kp_max);   // plane
+    std::vector<double> g0(kp_max * 3), c0(kp_max);     // bary 0 affine
+    std::vector<double> g1(kp_max * 3), c1(kp_max);     // bary 1 affine
+    std::vector<uint8_t> pok(kp_max);
+    // Per-slot edge geometry.
+    std::vector<double> ev(kc * 3), el2(kc);
+    std::vector<uint8_t> cand(kc), bad(kc);
+    int64_t t_tri = 0, t_edge = 0, t_fb = 0;
+
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t c = 0; c < nc; ++c) {
+      const int32_t m0 = member_start[c], m1 = member_start[c + 1];
+      if (m1 <= m0) continue;
+      const double* qc = coarse_pos + (int64_t)c * 3;
+      const int32_t* nbr = coarse_neigh + (int64_t)c * kc;
+      int nvalid = 0;
+      for (int64_t s = 0; s < kc; ++s)
+        if (nbr[s] >= 0) ++nvalid;
+
+      // ---- pair tables for this cell ----------------------------------
+      int64_t np = 0;
+      for (int64_t a = 0; a < kc; ++a) {
+        const int32_t na = nbr[a];
+        for (int64_t b = a + 1; b < kc; ++b, ++np) {
+          const int32_t nb = nbr[b];
+          pa[np] = (int32_t)a;
+          pb[np] = (int32_t)b;
+          pok[np] = 0;
+          if (na < 0 || nb < 0) continue;
+          if (check_voronoi) {
+            const int32_t* row = sorted_neigh.data() + (int64_t)na * kc;
+            if (!std::binary_search(row, row + kc, nb)) continue;
+          }
+          const double* qa = coarse_pos + (int64_t)na * 3;
+          const double* qb = coarse_pos + (int64_t)nb * 3;
+          const double e1x = qa[0] - qc[0], e1y = qa[1] - qc[1],
+                       e1z = qa[2] - qc[2];
+          const double e2x = qb[0] - qc[0], e2y = qb[1] - qc[1],
+                       e2z = qb[2] - qc[2];
+          double nx = e1y * e2z - e1z * e2y, ny = e1z * e2x - e1x * e2z,
+                 nz = e1x * e2y - e1y * e2x;
+          const double nn = std::sqrt(nx * nx + ny * ny + nz * nz);
+          if (!(nn > 1e-12)) continue;
+          pok[np] = 1;
+          const double inv_nn = 1.0 / nn;
+          nx *= inv_nn; ny *= inv_nn; nz *= inv_nn;
+          nhat[np * 3] = nx; nhat[np * 3 + 1] = ny; nhat[np * 3 + 2] = nz;
+          d0[np] = nx * qc[0] + ny * qc[1] + nz * qc[2];
+          // b0 = ((qb-qa) x (pp-qa)) . nhat / dA is affine in pp with
+          // gradient (nhat x (qb-qa)) / dA, which is perpendicular to
+          // nhat — so pp may be replaced by the unprojected point p.
+          const double abx = qb[0] - qa[0], aby = qb[1] - qa[1],
+                       abz = qb[2] - qa[2];
+          double gx = ny * abz - nz * aby, gy = nz * abx - nx * abz,
+                 gz = nx * aby - ny * abx;
+          const double inv_dA = inv_nn;  // dA = nn
+          g0[np * 3] = gx * inv_dA;
+          g0[np * 3 + 1] = gy * inv_dA;
+          g0[np * 3 + 2] = gz * inv_dA;
+          c0[np] = -(g0[np * 3] * qa[0] + g0[np * 3 + 1] * qa[1] +
+                     g0[np * 3 + 2] * qa[2]);
+          const double cbx = qc[0] - qb[0], cby = qc[1] - qb[1],
+                       cbz = qc[2] - qb[2];
+          gx = ny * cbz - nz * cby; gy = nz * cbx - nx * cbz;
+          gz = nx * cby - ny * cbx;
+          g1[np * 3] = gx * inv_dA;
+          g1[np * 3 + 1] = gy * inv_dA;
+          g1[np * 3 + 2] = gz * inv_dA;
+          c1[np] = -(g1[np * 3] * qb[0] + g1[np * 3 + 1] * qb[1] +
+                     g1[np * 3 + 2] * qb[2]);
+        }
+      }
+      // ---- per-slot edge geometry --------------------------------------
+      for (int64_t s = 0; s < kc; ++s) {
+        const int32_t ns = nbr[s];
+        if (ns < 0) { el2[s] = 0; continue; }
+        const double* qn = coarse_pos + (int64_t)ns * 3;
+        ev[s * 3] = qn[0] - qc[0];
+        ev[s * 3 + 1] = qn[1] - qc[1];
+        ev[s * 3 + 2] = qn[2] - qc[2];
+        el2[s] = ev[s * 3] * ev[s * 3] + ev[s * 3 + 1] * ev[s * 3 + 1] +
+                 ev[s * 3 + 2] * ev[s * 3 + 2];
+      }
+
+      // ---- members ------------------------------------------------------
+      for (int32_t mi = m0; mi < m1; ++mi) {
+        const int64_t i = member_idx[mi];
+        const double* p = fine_pos + i * 3;
+        int32_t cols[3] = {(int32_t)c, (int32_t)c, (int32_t)c};
+        double w[3] = {1.0, 0.0, 0.0};
+
+        if (nested && samples && samples[c] == (int64_t)i) {
+          // keep [c]=1 row
+        } else if (nvalid == 0) {
+          // keep [c]=1 row
+        } else if (nvalid == 1) {
+          // project onto segment c -> first neighbor slot
+          // (multigrid_solver.cpp:309-338)
+          int64_t s0 = 0;
+          const double rel0 = p[0] - qc[0], rel1 = p[1] - qc[1],
+                       rel2 = p[2] - qc[2];
+          double tt = (rel0 * ev[s0 * 3] + rel1 * ev[s0 * 3 + 1] +
+                       rel2 * ev[s0 * 3 + 2]) /
+                      std::max(el2[s0], EPS * EPS);
+          tt = std::min(std::max(tt, 0.0), 1.0);
+          const int32_t other = nbr[s0] >= 0 ? nbr[s0] : (int32_t)c;
+          cols[1] = other;
+          if (weighting == 1) { w[0] = 0.5; w[1] = 0.5; }
+          else if (weighting == 2) {
+            const double* q1 = coarse_pos + (int64_t)other * 3;
+            double dc = std::sqrt(rel0 * rel0 + rel1 * rel1 + rel2 * rel2);
+            double dn = std::sqrt((p[0]-q1[0])*(p[0]-q1[0]) +
+                                  (p[1]-q1[1])*(p[1]-q1[1]) +
+                                  (p[2]-q1[2])*(p[2]-q1[2]));
+            double w0 = 1.0 / std::max(dc, EPS), w1 = 1.0 / std::max(dn, EPS);
+            const double sw = w0 + w1;
+            w[0] = w0 / sw; w[1] = w1 / sw;
+          } else { w[0] = 1.0 - tt; w[1] = tt; }
+        } else {
+          // triangle / edge / closest-3 chain
+          std::memset(cand.data(), 0, kc);
+          std::memset(bad.data(), 0, kc);
+          double best_dt = std::numeric_limits<double>::infinity();
+          int64_t best_pair = -1;
+          double best_b0 = 0, best_b1 = 0;
+          for (int64_t t = 0; t < np; ++t) {
+            if (!pok[t]) continue;
+            const double b0v = g0[t * 3] * p[0] + g0[t * 3 + 1] * p[1] +
+                               g0[t * 3 + 2] * p[2] + c0[t];
+            const double b1v = g1[t * 3] * p[0] + g1[t * 3 + 1] * p[1] +
+                               g1[t * 3 + 2] * p[2] + c1[t];
+            const double b2v = 1.0 - b0v - b1v;
+            const double dtv = nhat[t * 3] * p[0] + nhat[t * 3 + 1] * p[1] +
+                               nhat[t * 3 + 2] * p[2] - d0[t];
+            // edge wedge bookkeeping (insideEdge map, :489-500)
+            cand[pa[t]] = 1;
+            cand[pb[t]] = 1;
+            const bool oka = b0v >= 0 && b1v >= 0;
+            const bool okb = b0v >= 0 && b2v >= 0;
+            if (!oka) bad[pa[t]] = 1;
+            if (!okb) bad[pb[t]] = 1;
+            if (b0v >= 0 && b1v >= 0 && b2v >= 0) {
+              const double ad = std::fabs(dtv);
+              if (ad < best_dt) {
+                best_dt = ad;
+                best_pair = t;
+                best_b0 = b0v;
+                best_b1 = b1v;
+              }
+            }
+          }
+          if (best_pair >= 0) {
+            ++t_tri;
+            const int32_t na = nbr[pa[best_pair]], nb = nbr[pb[best_pair]];
+            cols[1] = na; cols[2] = nb;
+            if (weighting == 1) { w[0] = w[1] = w[2] = 1.0 / 3.0; }
+            else if (weighting == 2) {
+              double ws[3], sw = 0;
+              const int32_t cc[3] = {(int32_t)c, na, nb};
+              for (int j = 0; j < 3; ++j) {
+                const double* q = coarse_pos + (int64_t)cc[j] * 3;
+                const double d = std::sqrt(
+                    (p[0]-q[0])*(p[0]-q[0]) + (p[1]-q[1])*(p[1]-q[1]) +
+                    (p[2]-q[2])*(p[2]-q[2]));
+                ws[j] = 1.0 / std::max(d, EPS);
+                sw += ws[j];
+              }
+              sw = std::max(sw, EPS);
+              w[0] = ws[0]/sw; w[1] = ws[1]/sw; w[2] = ws[2]/sw;
+            } else {
+              w[0] = best_b0; w[1] = best_b1; w[2] = 1.0 - best_b0 - best_b1;
+            }
+          } else {
+            // nearest "inside" edge
+            double best_perp = std::numeric_limits<double>::infinity();
+            int64_t best_s = -1;
+            double best_t = 0;
+            const double rel0 = p[0] - qc[0], rel1 = p[1] - qc[1],
+                         rel2 = p[2] - qc[2];
+            for (int64_t s = 0; s < kc; ++s) {
+              if (nbr[s] < 0 || !cand[s] || bad[s]) continue;
+              const double tt = (rel0 * ev[s * 3] + rel1 * ev[s * 3 + 1] +
+                                 rel2 * ev[s * 3 + 2]) /
+                                std::max(el2[s], EPS * EPS);
+              const double px = rel0 - tt * ev[s * 3],
+                           py = rel1 - tt * ev[s * 3 + 1],
+                           pz = rel2 - tt * ev[s * 3 + 2];
+              const double perp = std::sqrt(px * px + py * py + pz * pz);
+              if (perp < best_perp) {
+                best_perp = perp;
+                best_s = s;
+                best_t = tt;
+              }
+            }
+            if (best_s >= 0) {
+              ++t_edge;
+              const int32_t other = nbr[best_s];
+              double tt = std::min(std::max(best_t, 0.0), 1.0);
+              cols[1] = other;
+              if (weighting == 1) { w[0] = 0.5; w[1] = 0.5; w[2] = 0.0; }
+              else if (weighting == 2) {
+                const double* q1 = coarse_pos + (int64_t)other * 3;
+                double dc = std::sqrt(rel0*rel0 + rel1*rel1 + rel2*rel2);
+                double dn = std::sqrt((p[0]-q1[0])*(p[0]-q1[0]) +
+                                      (p[1]-q1[1])*(p[1]-q1[1]) +
+                                      (p[2]-q1[2])*(p[2]-q1[2]));
+                double w0 = 1.0/std::max(dc, EPS), w1 = 1.0/std::max(dn, EPS);
+                const double sw = w0 + w1;
+                w[0] = w0/sw; w[1] = w1/sw; w[2] = 0.0;
+              } else { w[0] = 1.0 - tt; w[1] = tt; w[2] = 0.0; }
+            } else {
+              // closest-3: c plus the two nearest valid neighbors
+              ++t_fb;
+              double d1 = std::numeric_limits<double>::infinity();
+              double d2 = std::numeric_limits<double>::infinity();
+              int32_t f1 = -1, f2 = -1;
+              for (int64_t s = 0; s < kc; ++s) {
+                const int32_t ns = nbr[s];
+                if (ns < 0) continue;
+                const double* q = coarse_pos + (int64_t)ns * 3;
+                const double d = std::sqrt(
+                    (p[0]-q[0])*(p[0]-q[0]) + (p[1]-q[1])*(p[1]-q[1]) +
+                    (p[2]-q[2])*(p[2]-q[2]));
+                if (d < d1) { d2 = d1; f2 = f1; d1 = d; f1 = ns; }
+                else if (d < d2) { d2 = d; f2 = ns; }
+              }
+              if (f1 < 0) f1 = (int32_t)c;
+              if (f2 < 0) f2 = f1;
+              cols[1] = f1; cols[2] = f2;
+              double ws[3], sw = 0;
+              const int32_t cc[3] = {(int32_t)c, f1, f2};
+              for (int j = 0; j < 3; ++j) {
+                const double* q = coarse_pos + (int64_t)cc[j] * 3;
+                const double d = std::sqrt(
+                    (p[0]-q[0])*(p[0]-q[0]) + (p[1]-q[1])*(p[1]-q[1]) +
+                    (p[2]-q[2])*(p[2]-q[2]));
+                ws[j] = 1.0 / std::max(d, EPS);
+                sw += ws[j];
+              }
+              sw = std::max(sw, EPS);
+              w[0] = ws[0]/sw; w[1] = ws[1]/sw; w[2] = ws[2]/sw;
+            }
+          }
+        }
+        out_cols[i * 3] = cols[0];
+        out_cols[i * 3 + 1] = cols[1];
+        out_cols[i * 3 + 2] = cols[2];
+        out_w[i * 3] = (float)w[0];
+        out_w[i * 3 + 1] = (float)w[1];
+        out_w[i * 3 + 2] = (float)w[2];
+      }
+    }
+    n_tri += t_tri;
+    n_edge += t_edge;
+    n_fb += t_fb;
+  }
+  stats[0] = n_tri.load();
+  stats[1] = n_edge.load();
+  stats[2] = n_fb.load();
+}
 
 }  // extern "C"
