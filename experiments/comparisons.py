@@ -39,9 +39,17 @@ from gravo_mg_tpu.utils.normalize import (
 
 
 def read_mesh(path):
-    """Minimal OBJ/OFF reader (reference uses igl.read_*)."""
+    """OBJ/OFF/PLY reader (reference util.read_mesh uses igl + plyfile,
+    experiments/python/util.py:5-15)."""
     path = pathlib.Path(path)
     V, F = [], []
+    if path.suffix == ".ply":
+        from gravo_mg_tpu.utils.io import read_ply
+
+        V, F = read_ply(path)
+        if F is None:
+            raise ValueError(f"{path} has no faces; use --pointcloud")
+        return np.asarray(V), np.asarray(F, dtype=np.int64)
     if path.suffix == ".obj":
         for line in open(path):
             t = line.split()
@@ -120,7 +128,14 @@ def run(args):
     shapes = []
     if args.in_dir and list_shapes(args.in_dir):
         for f in list_shapes(args.in_dir):
-            V, F = read_mesh(f)
+            if args.pointcloud:
+                # Point-cloud runs read positions only (reference
+                # comparisons.py:67-69 via util.read_pointcloud).
+                from gravo_mg_tpu.utils.io import read_pointcloud
+
+                V, F = read_pointcloud(f), None
+            else:
+                V, F = read_mesh(f)
             shapes.append((f.stem, V, F))
         print(f"{len(shapes)} files found in '{args.in_dir}'")
     else:

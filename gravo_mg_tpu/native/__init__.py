@@ -55,19 +55,8 @@ def get_lib():
     except OSError:
         _lib = False
         return None
-    lib.galerkin_dedup.restype = ctypes.c_int64
-    lib.galerkin_dedup.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_void_p,
-    ]
     lib.unique_i64.restype = ctypes.c_int64
     lib.unique_i64.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
-    lib.galerkin_keys.restype = None
-    lib.galerkin_keys.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-    ]
     lib.sort_pairs_i64.restype = None
     lib.sort_pairs_i64.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -118,22 +107,6 @@ def get_lib():
     return lib
 
 
-def galerkin_dedup(keys: np.ndarray, invalid_key: int):
-    """(out_slot, uniq, nnz_out) for contribution keys, or None."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    keys = np.ascontiguousarray(keys, dtype=np.int64)
-    n = keys.shape[0]
-    out_slot = np.empty(n, dtype=np.int32)
-    uniq = np.empty(n, dtype=np.int64)
-    nnz_out = lib.galerkin_dedup(
-        keys.ctypes.data, n, int(invalid_key),
-        out_slot.ctypes.data, uniq.ctypes.data,
-    )
-    return out_slot, uniq[:nnz_out].copy(), int(nnz_out)
-
-
 def unique_i64(keys: np.ndarray):
     """Sorted unique values of an int64 array, or None."""
     lib = get_lib()
@@ -144,26 +117,6 @@ def unique_i64(keys: np.ndarray):
     uniq = np.empty(max(n, 1), dtype=np.int64)
     m = lib.unique_i64(keys.ctypes.data, n, uniq.ctypes.data)
     return uniq[:m].copy()
-
-
-def galerkin_keys(A_idx, A_mask, U_cols, U_mask, ncoarse: int, big: int):
-    """Fused contribution-key builder; (W*W*K*N,) int64 keys, or None."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    A_idx = np.ascontiguousarray(A_idx, dtype=np.int32)
-    A_mask = np.ascontiguousarray(A_mask, dtype=np.uint8)
-    U_cols = np.ascontiguousarray(U_cols, dtype=np.int32)
-    U_mask = np.ascontiguousarray(U_mask, dtype=np.uint8)
-    k, n = A_idx.shape
-    w = U_cols.shape[0]
-    keys = np.empty(w * w * k * n, dtype=np.int64)
-    lib.galerkin_keys(
-        A_idx.ctypes.data, A_mask.ctypes.data, k, n,
-        U_cols.ctypes.data, U_mask.ctypes.data, w,
-        int(ncoarse), int(big), keys.ctypes.data,
-    )
-    return keys
 
 
 def shuffle_layout(rows: np.ndarray, cols: np.ndarray, S: int, kc: int,

@@ -64,25 +64,44 @@ class DistOp:
 
     All arrays are stacked over a leading device axis ``D`` and sharded
     ``P('rows')`` into the shard_map, where each device sees its own
-    ``[0]`` slice.  ``steps`` holds the halo-exchange plan: one entry per
-    ring shift with nonzero traffic, ``(shift, send_idx (D, Hs),
-    recv_pos (D, Hs))`` — sender ``d`` gathers ``x_local[send_idx[d]]``
-    for receiver ``(d+s) % D``; the receiver scatters the ppermuted buffer
-    to ``halo[recv_pos[d]]`` (padding routed to dump slot ``H``).
+    ``[0]`` slice.  The operator is split BY SLOT into an **interior
+    part** (``q/r/v`` — slots whose source block is device-local, so its
+    FMA has no data dependence on any communication) and a **halo part**
+    (``qh/rh/vh`` — slots sourcing the received halo buffer only).  The
+    per-device apply is
+
+        send ppermutes  ->  y = interior FMA (overlaps the ppermutes)
+                        ->  y += halo FMA (consumes the received buffer)
+
+    — the SURVEY §2.5(b) exchange-overlapped-with-interior-smoothing
+    contract, structural rather than scheduled: XLA's latency-hiding
+    scheduler is free to run the collective during the interior compute
+    because nothing in it reads the permuted values.
+
+    ``steps`` holds the halo-exchange plan: one entry per ring shift with
+    nonzero traffic, ``(shift, send_idx (D, Hs), recv_pos (D, Hs))`` —
+    sender ``d`` gathers ``x_local[send_idx[d]]`` for receiver
+    ``(d+s) % D``; the receiver scatters the ppermuted buffer to
+    ``halo[recv_pos[d]]`` (padding routed to a dump slot).
     """
 
-    q: jnp.ndarray          # (D, KP, S) int32
+    q: jnp.ndarray          # (D, KP, S) int32 — interior slots
     r: jnp.ndarray          # (D, KP, S, 128) int32
     v: jnp.ndarray          # (D, KP, S, 128)
+    qh: jnp.ndarray         # (D, KPH, S) int32 — halo slots (may be empty)
+    rh: jnp.ndarray         # (D, KPH, S, 128) int32
+    vh: jnp.ndarray         # (D, KPH, S, 128)
     steps: Tuple            # ((shift, send_idx, recv_pos), ...)
     rows_local: int         # output length per device
-    cols_local: int         # owned input length per device
-    halo: int               # halo buffer length (uniform, padded)
+    cols_local: int         # owned input length per device (mult of 128)
+    halo: int               # real halo entries (uniform over devices)
+    halo_pad: int           # halo buffer length, mult of 128, > halo
 
 
 def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype) -> DistOp:
     """Partition a global csr operator into per-device halo-remapped
     shuffle-ELL blocks (host-side, once per context)."""
+    assert cl % 128 == 0, "per-device column block must be 128-aligned"
     A = A_csr.tocsr()
     A.sum_duplicates()
     nr, nc = A.shape
@@ -102,38 +121,60 @@ def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype) -> DistOp:
         halo_cols.append(hc)
         blocks.append((rows, cols, blk.data))
     H = max((len(h) for h in halo_cols), default=0)
-    ncols_ext = cl + H
+    # Halo buffer: 128-aligned with at least one spare slot for the
+    # exchange's padding dump.
+    H_pad = _round_up(H + 1, 128) if H else 0
 
-    # Per-device shuffle layouts with remapped columns; pad to uniform KP.
+    # Per-device split layouts (interior / halo); pad each to uniform KP.
     layouts = []
-    kp_max, s_uniform = 1, None
+    kp_max, kph_max, s_uniform = 1, 0, None
     for d in range(D):
         rows, cols, data = blocks[d]
-        hc = halo_cols[d]
         local = (cols >= d * cl) & (cols < (d + 1) * cl)
-        cmap = np.where(
-            local, cols - d * cl, cl + np.searchsorted(hc, cols)
+        hc = halo_cols[d]
+        kp, s, q, pos = _shuffle_layout(
+            rows[local], cols[local] - d * cl, rl, cl
         )
-        kp, s, q, pos = _shuffle_layout(rows, cmap, rl, ncols_ext)
         if s_uniform is None:
             s_uniform = s
         assert s == s_uniform
         kp_max = max(kp_max, kp)
-        layouts.append((kp, q, pos, cmap, data))
+        if H:
+            hmap = np.searchsorted(hc, cols[~local])
+            kph, s2, qh, posh = _shuffle_layout(rows[~local], hmap, rl, H_pad)
+            assert s2 == s
+            kph_max = max(kph_max, kph if len(hmap) else 0)
+        else:
+            kph, qh, posh, hmap = 0, None, None, None
+        layouts.append((kp, q, pos, cols[local] - d * cl, data[local],
+                        kph, qh, posh, hmap, data[~local]))
     kp_max = _round_up(kp_max, 4)
+    kph_max = _round_up(kph_max, 4) if kph_max else 0
 
     S = s_uniform if s_uniform is not None else _round_up(max(-(-rl // 128), 1), 8)
     q_all = np.zeros((D, kp_max, S), np.int32)
     r_all = np.zeros((D, kp_max, S, 128), np.int32)
     v_all = np.zeros((D, kp_max, S, 128), np.float64)
-    for d, (kp, q, pos, cmap, data) in enumerate(layouts):
-        q_all[d, :kp] = q
-        rf = np.zeros((kp * S * 128,), np.int32)
-        vf = np.zeros((kp * S * 128,), np.float64)
-        rf[pos] = cmap & 127
-        vf[pos] = data
-        r_all[d, :kp] = rf.reshape(kp, S, 128)
-        v_all[d, :kp] = vf.reshape(kp, S, 128)
+    qh_all = np.zeros((D, kph_max, S), np.int32)
+    rh_all = np.zeros((D, kph_max, S, 128), np.int32)
+    vh_all = np.zeros((D, kph_max, S, 128), np.float64)
+    for d, (kp, q, pos, lc, ld, kph, qh, posh, hmap, hd) in enumerate(layouts):
+        if len(pos):
+            q_all[d, :kp] = q
+            rf = np.zeros((kp * S * 128,), np.int32)
+            vf = np.zeros((kp * S * 128,), np.float64)
+            rf[pos] = lc & 127
+            vf[pos] = ld
+            r_all[d, :kp] = rf.reshape(kp, S, 128)
+            v_all[d, :kp] = vf.reshape(kp, S, 128)
+        if kph and len(posh):
+            qh_all[d, :kph] = qh
+            rf = np.zeros((kph * S * 128,), np.int32)
+            vf = np.zeros((kph * S * 128,), np.float64)
+            rf[posh] = hmap & 127
+            vf[posh] = hd
+            rh_all[d, :kph] = rf.reshape(kph, S, 128)
+            vh_all[d, :kph] = vf.reshape(kph, S, 128)
 
     # Halo exchange plan: group each device's (sorted) halo set by owner.
     send: dict = {}
@@ -151,7 +192,7 @@ def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype) -> DistOp:
     for s in sorted(send):
         hs = max(len(v) for v in send[s].values())
         si = np.zeros((D, hs), np.int32)
-        rp = np.full((D, hs), H, np.int32)  # pad -> dump slot H
+        rp = np.full((D, hs), H, np.int32)  # pad -> dump slot H (< H_pad)
         for o, idx in send[s].items():
             si[o, : len(idx)] = idx
         for d, posn in recv[s].items():
@@ -162,50 +203,68 @@ def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype) -> DistOp:
         q=jnp.asarray(q_all),
         r=jnp.asarray(r_all),
         v=jnp.asarray(v_all, dtype=dtype),
+        qh=jnp.asarray(qh_all),
+        rh=jnp.asarray(rh_all),
+        vh=jnp.asarray(vh_all, dtype=dtype),
         steps=tuple(steps),
         rows_local=rl,
         cols_local=cl,
         halo=H,
+        halo_pad=H_pad,
     )
 
 
 def _local_view(op_arrays, meta: DistOp):
-    """Per-device ShuffleEll + exchange tables from the shard_map slices."""
-    q, r, v, step_arrays = op_arrays
-    A = ShuffleEll(
-        q[0], r[0], v[0], meta.rows_local, meta.cols_local + meta.halo
+    """Per-device (A_interior, A_halo, steps) from the shard_map slices."""
+    q, r, v, qh, rh, vh, step_arrays = op_arrays
+    A = ShuffleEll(q[0], r[0], v[0], meta.rows_local, meta.cols_local)
+    Ah = (
+        ShuffleEll(qh[0], rh[0], vh[0], meta.rows_local, meta.halo_pad)
+        if meta.halo_pad and qh.shape[1] else None
     )
     steps = [
         (shift, si[0], rp[0])
         for (shift, _, _), (si, rp) in zip(meta.steps, step_arrays)
     ]
-    return A, steps
+    return A, Ah, steps
 
 
 def _op_leaves(op: DistOp):
     """The traced-array pytree for one DistOp (statics live on the meta)."""
-    return (op.q, op.r, op.v, tuple((si, rp) for (_, si, rp) in op.steps))
+    return (op.q, op.r, op.v, op.qh, op.rh, op.vh,
+            tuple((si, rp) for (_, si, rp) in op.steps))
 
 
-def _exchange(x_loc, steps, halo_len: int, axis: str, ndev: int):
-    """Assemble the extended vector [x_local | halo] via ring ppermutes."""
-    if halo_len == 0:
-        return x_loc
-    halo = jnp.zeros((halo_len + 1,), x_loc.dtype)
+def _exchange(x_loc, steps, halo: int, halo_pad: int, axis: str, ndev: int):
+    """Receive the halo buffer (halo_pad rows) via ring ppermutes.
+
+    ``x_loc`` may be (n,) or (n, d); the buffer matches.
+    """
+    shape = (halo_pad,) + x_loc.shape[1:]
+    buf_h = jnp.zeros(shape, x_loc.dtype)
     for shift, si, rp in steps:
-        buf = jnp.take(x_loc, si)
+        buf = jnp.take(x_loc, si, axis=0)
         buf = jax.lax.ppermute(
             buf, axis, [(i, (i + shift) % ndev) for i in range(ndev)]
         )
-        halo = halo.at[rp].set(buf)
-    return jnp.concatenate([x_loc, halo[:halo_len]])
+        buf_h = buf_h.at[rp].set(buf)
+    return buf_h
 
 
-def _dist_spmv(A: ShuffleEll, steps, halo_len, axis, ndev, x_loc):
-    from ..sparse import shuffle_spmv_1d
+def _dist_spmv(A: ShuffleEll, Ah, steps, meta: DistOp, axis, ndev, x_loc):
+    """y = A_device_block @ x, interior FMA overlapping the halo exchange.
 
-    x_ext = _exchange(x_loc, steps, halo_len, axis, ndev)
-    return shuffle_spmv_1d(A, x_ext)
+    The interior ShuffleEll's q table only indexes blocks of ``x_loc``
+    (structural no-halo-dependency guarantee, asserted in tests); the
+    halo part gathers exclusively from the ppermuted buffer.
+    """
+    from ..sparse import shuffle_spmv
+
+    if Ah is None or meta.halo == 0:
+        return shuffle_spmv(A, x_loc)
+    halo_buf = _exchange(x_loc, steps, meta.halo, meta.halo_pad, axis, ndev)
+    y = shuffle_spmv(A, x_loc)          # interior: independent of halo_buf
+    return y + shuffle_spmv(Ah, halo_buf)
 
 
 @dataclasses.dataclass
@@ -238,7 +297,9 @@ class HaloContext:
         chain = ctx.chain_csr
         sizes = [A.shape[0] for A in chain]           # n per level (+coarse)
         self.n = sizes[0]
-        self.nloc = [_round_up(n, D) // D for n in sizes]
+        # Per-device blocks are 128-aligned so the interior/halo slot split
+        # can gather straight from the x_local block space.
+        self.nloc = [_round_up(n, 128 * D) // D for n in sizes]
 
         self.levels: List[_LevelMeta] = []
         diag_inv, lam = [], []
@@ -302,15 +363,22 @@ class HaloContext:
 
     def _coarse(self, coarse_cho, rc_loc):
         rc = jax.lax.all_gather(rc_loc, self.AXIS, tiled=True)
+        one_d = rc.ndim == 1
+        rc2 = rc[:, None] if one_d else rc
         e = jax.scipy.linalg.cho_solve(
-            (coarse_cho, True), rc.astype(coarse_cho.dtype)[:, None]
-        )[:, 0]
+            (coarse_cho, True), rc2.astype(coarse_cho.dtype)
+        )
         if self.cfg.coarse_null_project:
-            e = e - jnp.sum(e) / self.nc
+            # Padded rows solve an identity block against zero RHS, so the
+            # column sums over the real nc rows equal full-vector sums.
+            e = e - jnp.sum(e, axis=0, keepdims=True) / self.nc
         e = e.astype(rc_loc.dtype)
+        if one_d:
+            e = e[:, 0]
         d = jax.lax.axis_index(self.AXIS)
-        return jax.lax.dynamic_slice(e, (d * self.nloc[-1],),
-                                     (self.nloc[-1],))
+        start = (d * self.nloc[-1],) + (jnp.int32(0),) * (e.ndim - 1)
+        size = (self.nloc[-1],) + e.shape[1:]
+        return jax.lax.dynamic_slice(e, start, size)
 
     def _cycle(self, ops, coarse_cho, b, x, k: int, kind: int):
         cfg = self.cfg
@@ -341,13 +409,15 @@ class HaloContext:
         return x
 
     def _residual_num_sq(self, dspmv_A, dspmv_M, minv, b, x, criteria: int):
+        """Per-column squared numerators, psum'd over the mesh."""
         r = dspmv_A(x) - b
         if criteria == 0 or criteria == 3:
-            loc = jnp.sum(r * r)
+            loc = jnp.sum(r * r, axis=0)
         elif criteria == 1:
-            loc = jnp.sum(r * (minv * r))
+            mv = minv[:, None] if r.ndim == 2 else minv
+            loc = jnp.sum(r * (mv * r), axis=0)
         elif criteria == 2:
-            loc = jnp.sum(r * dspmv_M(r))
+            loc = jnp.sum(r * dspmv_M(r), axis=0)
         else:
             raise ValueError(f"unknown stopping criteria {criteria}")
         return jax.lax.psum(loc, self.AXIS)
@@ -360,17 +430,17 @@ class HaloContext:
             lvl_arrays, M_arrays, diag_inv, minv = arrays
             spmvs = []
             for k, m in enumerate(self.levels):
-                A, sA = _local_view(lvl_arrays[k][0], m.A)
-                U, sU = _local_view(lvl_arrays[k][1], m.U)
-                UT, sUT = _local_view(lvl_arrays[k][2], m.UT)
+                A, Ah, sA = _local_view(lvl_arrays[k][0], m.A)
+                U, Uh, sU = _local_view(lvl_arrays[k][1], m.U)
+                UT, UTh, sUT = _local_view(lvl_arrays[k][2], m.UT)
                 spmvs.append((
-                    partial(_dist_spmv, A, sA, m.A.halo, axis, D),
-                    partial(_dist_spmv, U, sU, m.U.halo, axis, D),
-                    partial(_dist_spmv, UT, sUT, m.UT.halo, axis, D),
+                    partial(_dist_spmv, A, Ah, sA, m.A, axis, D),
+                    partial(_dist_spmv, U, Uh, sU, m.U, axis, D),
+                    partial(_dist_spmv, UT, UTh, sUT, m.UT, axis, D),
                     diag_inv[k][0],
                 ))
-            Mop, sM = _local_view(M_arrays, self.M)
-            dspmv_M = partial(_dist_spmv, Mop, sM, self.M.halo, axis, D)
+            Mop, Mh, sM = _local_view(M_arrays, self.M)
+            dspmv_M = partial(_dist_spmv, Mop, Mh, sM, self.M, axis, D)
             dspmv_A0 = spmvs[0][0]
             ops = (lvl_arrays, spmvs)
 
@@ -385,7 +455,7 @@ class HaloContext:
                 num_sq = self._residual_num_sq(
                     dspmv_A0, dspmv_M, minv[0], b_loc, x, criteria
                 )
-                res = jnp.sqrt(num_sq) / den
+                res = jnp.max(jnp.sqrt(num_sq) / den)
                 return x, it + 1, res
 
             x, iters, res = jax.lax.while_loop(
@@ -415,46 +485,55 @@ class HaloContext:
     ):
         """Deflate (host, f64), run the fused SPMD loop, un-deflate.
 
-        1-D RHS only (multi-RHS solves loop columns host-side — the halo
-        plans and compiled program are shared)."""
+        ``rhs`` may be (n,) or (n, d) — multi-column systems (e.g. the
+        conformal flow's (N, 3) position solves) run through ONE fused
+        SPMD program; the stopping criterion is the max over columns like
+        the reference (multigrid_solver.cpp:1228-1277)."""
         ctx = self.ctx
-        rhs = np.asarray(rhs, dtype=np.float64).reshape(-1)
+        rhs = np.asarray(rhs, dtype=np.float64)
+        squeeze = rhs.ndim == 1
+        rhs2 = rhs[:, None] if squeeze else rhs
         n, pad0 = self.n, self.ndev * self.nloc[0]
+        d = rhs2.shape[1]
 
         denom = float(ctx.row_sums.sum())
         scale = float(np.abs(ctx.lhs_csr.diagonal()).mean())
-        alpha = (
-            rhs.sum() / denom if abs(denom) > 1e-12 * scale * n else 0.0
-        )
-        b_eff = rhs - alpha * ctx.row_sums
+        if abs(denom) > 1e-12 * scale * n:
+            alpha = rhs2.sum(axis=0) / denom          # (d,)
+        else:
+            alpha = np.zeros(d)
+        b_eff = rhs2 - alpha[None, :] * ctx.row_sums[:, None]
 
-        # Residual denominator from the ORIGINAL rhs, host-side f64
+        # Residual denominators from the ORIGINAL rhs, host-side f64
         # (reference residualCheck denominators, multigrid_solver.cpp:1247).
         M = ctx.mass_csr
         if criteria == 0:
-            den = np.linalg.norm(rhs)
+            den = np.linalg.norm(rhs2, axis=0)
         elif criteria == 1:
-            den = float(np.sqrt(rhs @ (rhs / np.maximum(M.diagonal(), 1e-300))))
+            minv = 1.0 / np.maximum(M.diagonal(), 1e-300)
+            den = np.sqrt((rhs2 * (minv[:, None] * rhs2)).sum(axis=0))
         elif criteria == 2:
-            den = float(np.sqrt(rhs @ (M @ rhs)))
+            den = np.sqrt((rhs2 * (M @ rhs2)).sum(axis=0))
         elif criteria == 3:
-            den = 1.0
+            den = np.ones(d)
         else:
             raise ValueError(f"unknown stopping criteria {criteria}")
-        den = max(den, 1e-30)
+        den = np.maximum(den, 1e-30)
 
-        b = np.zeros((pad0,), np.float64)
+        b = np.zeros((pad0, d), np.float64)
         b[:n] = b_eff
-        b = jnp.asarray(b, dtype=self.dtype)
+        b = jnp.asarray(b[:, 0] if squeeze else b, dtype=self.dtype)
         x0 = jnp.zeros_like(b)
 
-        key = (criteria, max_iter)
+        key = (criteria, max_iter, None if squeeze else d)
         if self._fused is None or self._fused[0] != key:
             self._fused = (key, self._make_fused(criteria, max_iter))
         fused = self._fused[1]
         x, iters, res = fused(
             self._arrays, self._coarse_cho, b, x0,
-            jnp.asarray(den, self.dtype), jnp.asarray(tol, self.dtype),
+            jnp.asarray(den[0] if squeeze else den, self.dtype),
+            jnp.asarray(tol, self.dtype),
         )
-        y = np.asarray(x, dtype=np.float64)[:n] + alpha
+        y = np.asarray(x, dtype=np.float64)[:n]
+        y = (y + alpha[0]) if squeeze else (y + alpha[None, :])
         return y, int(iters), float(res)

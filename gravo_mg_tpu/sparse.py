@@ -483,147 +483,23 @@ def make_prolongation(cols: np.ndarray, weights: np.ndarray, ncoarse: int,
     flat = cols_t.reshape(-1)
     perm = np.argsort(flat, kind="stable").astype(np.int32)
     seg = flat[perm].astype(np.int32)
+    # Leaves stay HOST numpy: hierarchy construction must never touch the
+    # device (relay transfers dominate build time otherwise), and the hot
+    # solve path uses ShuffleTransfer operators — these leaves are only
+    # materialized on device by the GSPMD dist path / direct eager use,
+    # where jax converts them at dispatch.
     P = Prolongation(
-        jnp.asarray(cols_t),
-        jnp.asarray(w_t, dtype=dtype),
-        jnp.asarray(perm),
-        jnp.asarray(seg),
+        cols_t,
+        w_t.astype(np.dtype(dtype)),
+        perm,
+        seg,
         int(ncoarse),
     )
-    # Host mirror so setup-time to_scipy() never round-trips the device.
+    # Host mirror so setup-time to_scipy() never round-trips the device
+    # even for instances whose leaves were later device-committed.
     P.host_cols = cols_t
     P.host_weights = w_t
     return P
-
-
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
-class GalerkinPlan:
-    """Static plan for the triple product ``Abar = U^T A U`` on device.
-
-    Pattern discovery (which coarse (ci, cj) pairs exist) runs once on the
-    host per (A-pattern, U) pair; per-solve the device only evaluates
-
-        contrib[a,b,k,i] = w[a,i] * A[k,i] * w[b, j(k,i)]
-
-    — an (W, W, K, N) tensor whose minor dim is the huge one (tiling-
-    friendly) — and segment-sums the flattened contributions into the
-    precomputed output slots.  ``out_ell_src`` then gathers the
-    deduplicated nnz into the coarse transposed-ELL layout.  Replaces the
-    reference's per-solve Eigen SpGEMM chain (multigrid_solver.cpp:
-    1387-1392) with static-shape TPU ops.
-    """
-
-    out_slot: jnp.ndarray     # (W*W*K*N,) int32: contribution -> nnz id
-    out_ell_src: jnp.ndarray  # (Kout, Nc) int32: nnz id or nnz_out (pad)
-    out_ell_idx: jnp.ndarray  # (Kout, Nc) int32: coarse column indices
-    nnz_out: int              # static
-    ncoarse: int              # static
-
-    def tree_flatten(self):
-        return (self.out_slot, self.out_ell_src, self.out_ell_idx), (
-            self.nnz_out,
-            self.ncoarse,
-        )
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1])
-
-    def reduce(self, A: EllMatrix, U: Prolongation) -> EllMatrix:
-        """Compute Abar = U^T A U with this plan (device-side)."""
-        w = U.weights                        # (W, N)
-        wj = jnp.take(w, A.indices, axis=1)  # (W, K, N)
-        contrib = (
-            w[:, None, None, :] * A.values[None, None, :, :] * wj[None, :, :, :]
-        )  # (W, W, K, N)
-        sums = jax.ops.segment_sum(
-            contrib.reshape(-1),
-            self.out_slot,
-            num_segments=self.nnz_out + 1,
-        )  # last segment collects padding
-        ell_vals = jnp.take(sums, self.out_ell_src)
-        return EllMatrix(self.out_ell_idx, ell_vals, self.ncoarse)
-
-
-def _ell_layout_from_unique(uniq: np.ndarray, ncoarse: int, nnz_out: int):
-    """Small host step: lay the deduplicated (row, col) keys out as
-    transposed ELL."""
-    rows = (uniq // ncoarse).astype(np.int64)
-    cols = (uniq % ncoarse).astype(np.int32)
-    degree = np.bincount(rows, minlength=ncoarse)
-    kout = max(int(degree.max()) if nnz_out else 1, 1)
-    row_start = np.zeros(ncoarse + 1, dtype=np.int64)
-    np.cumsum(degree, out=row_start[1:])
-    slot_in_row = np.arange(nnz_out) - row_start[rows]
-    out_ell_src = np.full((kout, ncoarse), nnz_out, dtype=np.int32)
-    out_ell_idx = np.zeros((kout, ncoarse), dtype=np.int32)
-    out_ell_src[slot_in_row, rows] = np.arange(nnz_out, dtype=np.int32)
-    out_ell_idx[slot_in_row, rows] = cols
-    return out_ell_src, out_ell_idx
-
-
-def make_galerkin_plan(A_indices: np.ndarray, A_values_mask: np.ndarray,
-                       U_cols: np.ndarray, ncoarse: int,
-                       U_mask: np.ndarray | None = None) -> GalerkinPlan:
-    """Pattern discovery for the Galerkin triple product (host-side).
-
-    Inputs are in the device's transposed layout: ``A_indices (K, N)``,
-    ``A_values_mask (K, N)`` marking real nnz vs padding, ``U_cols (W, N)``
-    and ``U_mask (W, N)`` likewise — without the U mask, U's index-0
-    weight-0 pads would register a structurally dense row/column 0 in the
-    output.  Masked contributions route to a dump slot.
-    """
-    A_indices = np.asarray(A_indices)
-    mask = np.asarray(A_values_mask, dtype=bool)
-    U_cols = np.asarray(U_cols, dtype=np.int64)
-    k, n = A_indices.shape
-    w = U_cols.shape[0]
-    if U_mask is None:
-        U_mask = np.ones((w, n), dtype=bool)
-    U_mask = np.asarray(U_mask, dtype=bool)
-    big = np.int64(ncoarse) * np.int64(ncoarse) + 1
-
-    from .native import galerkin_dedup, galerkin_keys
-
-    # keys[a, b, kk, i] = ci(a, i) * nc + cj(b, kk, i); invalid -> big
-    keys = galerkin_keys(A_indices, mask, U_cols, U_mask, ncoarse, int(big))
-    if keys is None:  # numpy fallback (native toolchain absent)
-        ci = U_cols[:, None, None, :]                    # (W,1,1,N)
-        cj = U_cols[:, A_indices][None, :, :, :]         # (1,W,K,N)
-        keys = np.ascontiguousarray(
-            np.broadcast_to(ci * ncoarse + cj, (w, w, k, n)).reshape(-1)
-        )
-        valid = (
-            U_mask[:, None, None, :]
-            & U_mask[:, A_indices][None, :, :, :]
-            & mask[None, None, :, :]
-        ).reshape(-1)
-        keys[~valid] = big
-
-    native = galerkin_dedup(keys, int(big))
-    if native is not None:
-        out_slot_np, uniq, nnz_out = native
-    else:
-        order = np.argsort(keys)
-        skeys = keys[order]
-        svalid = skeys != big
-        is_new = svalid.copy()
-        is_new[1:] &= skeys[1:] != skeys[:-1]
-        nnz_out = int(is_new.sum())
-        inv_sorted = np.cumsum(is_new) - 1
-        slot_sorted = np.where(svalid, inv_sorted, nnz_out).astype(np.int32)
-        out_slot_np = np.empty_like(slot_sorted)
-        out_slot_np[order] = slot_sorted
-        uniq = skeys[is_new]
-    out_ell_src, out_ell_idx = _ell_layout_from_unique(uniq, ncoarse, nnz_out)
-    return GalerkinPlan(
-        jnp.asarray(out_slot_np),
-        jnp.asarray(out_ell_src),
-        jnp.asarray(out_ell_idx),
-        nnz_out,
-        int(ncoarse),
-    )
 
 
 def ell_to_dense(A: EllMatrix) -> jnp.ndarray:

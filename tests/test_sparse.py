@@ -8,7 +8,6 @@ import scipy.sparse as sp
 from gravo_mg_tpu.sparse import (
     ell_from_scipy,
     ell_to_dense,
-    make_galerkin_plan,
     make_prolongation,
     spmv,
 )
@@ -67,38 +66,3 @@ def test_prolongation_against_scipy():
     assert np.allclose(np.asarray(U.restrict(jnp.asarray(r))), Us.T @ r, atol=1e-10)
     R = np.random.default_rng(9).standard_normal((nf, 3))
     assert np.allclose(np.asarray(U.restrict(jnp.asarray(R))), Us.T @ R, atol=1e-10)
-
-
-def test_galerkin_plan_matches_scipy_triple_product():
-    nf, nc = 300, 50
-    A = _random_spd(nf, seed=10)
-    cols, w = _random_prolongation(nf, nc, seed=11)
-    U = make_prolongation(cols, w, nc, dtype=jnp.float64)
-    E = ell_from_scipy(A, dtype=jnp.float64)
-    plan = make_galerkin_plan(
-        np.asarray(E.indices), np.asarray(E.values) != 0, cols.T, nc
-    )
-    Abar = plan.reduce(E, U)
-    Us = U.to_scipy()
-    ref = (Us.T @ A @ Us).toarray()
-    got = np.asarray(ell_to_dense(Abar))
-    assert np.allclose(got, ref, atol=1e-8)
-
-
-def test_galerkin_plan_value_update_same_pattern():
-    """Plans are reusable across LHS values with the same sparsity."""
-    nf, nc = 200, 40
-    A1 = _random_spd(nf, seed=12)
-    A2 = A1.copy()
-    A2.data = A2.data * 2.0 + 0.1
-    cols, w = _random_prolongation(nf, nc, seed=13)
-    U = make_prolongation(cols, w, nc, dtype=jnp.float64)
-    E1 = ell_from_scipy(A1, dtype=jnp.float64)
-    plan = make_galerkin_plan(
-        np.asarray(E1.indices), np.asarray(E1.values) != 0, cols.T, nc
-    )
-    E2 = ell_from_scipy(A2, dtype=jnp.float64, pad_to=E1.indices.shape[0])
-    Us = U.to_scipy()
-    got = np.asarray(ell_to_dense(plan.reduce(E2, U)))
-    ref = (Us.T @ A2 @ Us).toarray()
-    assert np.allclose(got, ref, atol=1e-8)

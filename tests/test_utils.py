@@ -198,3 +198,38 @@ def test_robust_matches_cotan_on_clean_mesh():
     S1, _ = mesh_laplacian_robust(V, F)
     diff = abs(S0 - S1).max()
     assert diff < 1e-6 * abs(S0.data).max()
+
+
+def test_ply_roundtrip(tmp_path):
+    """Binary PLY write -> read recovers vertices and faces; ascii and
+    variable-count faces also parse (reference harness reads .ply via
+    plyfile, experiments/python/util.py:5-27)."""
+    from gravo_mg_tpu.utils.io import read_ply, read_pointcloud, write_ply
+    from gravo_mg_tpu.utils.meshgen import icosphere
+
+    V, F = icosphere(2)
+    p = tmp_path / "mesh.ply"
+    write_ply(V, p, faces=F)
+    V2, F2 = read_ply(p)
+    assert np.allclose(V2, V, atol=1e-6)
+    assert (F2 == F).all()
+
+    # point cloud (no faces)
+    pc = tmp_path / "cloud.ply"
+    write_ply(V, pc)
+    assert np.allclose(read_pointcloud(pc), V, atol=1e-6)
+
+    # ascii with extra vertex properties and a quad face
+    pa = tmp_path / "ascii.ply"
+    with open(pa, "w") as f:
+        f.write("ply\nformat ascii 1.0\ncomment test\n")
+        f.write("element vertex 4\n")
+        f.write("property float x\nproperty float nx\nproperty float y\n"
+                "property float z\n")
+        f.write("element face 1\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        f.write("0 9 0 0\n1 9 0 0\n1 9 1 0\n0 9 1 0\n")
+        f.write("4 0 1 2 3\n")
+    Va, Fa = read_ply(pa)
+    assert np.allclose(Va, [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]])
+    assert (Fa == [[0, 1, 2, 3]]).all()
