@@ -135,7 +135,11 @@ def run(args):
 
                 V, F = read_pointcloud(f), None
             else:
-                V, F = read_mesh(f)
+                try:
+                    V, F = read_mesh(f)
+                except ValueError as e:
+                    print(f"skipping {f.name}: {e}")
+                    continue
             shapes.append((f.stem, V, F))
         print(f"{len(shapes)} files found in '{args.in_dir}'")
     else:
@@ -365,6 +369,7 @@ if __name__ == "__main__":
     print(details + "---")
 
     run(args)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
     from comparisons_to_table import save_to_table
 
     save_to_table(

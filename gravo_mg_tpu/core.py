@@ -104,7 +104,7 @@ class MultigridSolver:
                 weighting=self.weighting,
                 check_voronoi=self.check_voronoi, nested=self.nested,
                 normals=self.normals,
-                seed=self.seed, verbose=self.verbose,
+                seed=self.seed, verbose=self.verbose, debug=self.debug,
             )
         self._hierarchy_ours = self.hierarchy
         self._hierarchy_sig21: Optional[HierarchyData] = None
@@ -278,6 +278,19 @@ class MultigridSolver:
     @property
     def nearest_source(self):
         return [lvl.labels for lvl in self.hierarchy.levels]
+
+    @property
+    def cluster_distances(self):
+        """Per-level graph-Voronoi distances to each vertex's cluster seed.
+
+        Retained only under ``debug=True`` (the reference gates its extra
+        per-level retention on the same flag, multigrid_solver.cpp:241,281);
+        returns empty arrays otherwise."""
+        return [
+            lvl.cluster_dist if lvl.cluster_dist is not None
+            else np.zeros(0)
+            for lvl in self.hierarchy.levels
+        ]
 
     @property
     def level_points(self):

