@@ -512,11 +512,15 @@ class MultigridSolveContext:
                 cfg, self.levels, self.coarse_cho, self.M, self.Minv_diag,
                 b, x, den, jnp.asarray(tol, self.dtype), criteria, max_iter,
             )
-            jax.block_until_ready(x)
+            # ONE batched device_get: through the TPU relay every separate
+            # host pull is a ~25 ms round trip (and block_until_ready does
+            # not actually synchronize), so int(iters)/float(res)/asarray
+            # as separate calls cost 3 extra round trips per solve.
+            x, iters, res, trace = jax.device_get((x, iters, res, trace))
             elapsed = (time.perf_counter() - t0) * 1000
             iters = int(iters)
             res = float(res)
-            trace = np.asarray(trace)[:iters]
+            trace = trace[:iters]
             # Residuals are exact per-cycle values from the device loop,
             # but timestamps are SYNTHETIC (total elapsed spread uniformly
             # — the fused while_loop has no host clock).  Flagged in the
