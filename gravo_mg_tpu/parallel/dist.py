@@ -111,7 +111,7 @@ class ShardedContext:
 
     mesh: Mesh
     levels: tuple
-    coarse_cho: jnp.ndarray
+    coarse_op: tuple     # (Ainv, Ad) replicated, identity-padded
     M: EllMatrix
     Minv_diag: jnp.ndarray
     cfg: object
@@ -149,17 +149,22 @@ def shard_context(ctx: MultigridSolveContext, mesh: Mesh) -> ShardedContext:
         levels.append(
             LevelOps(A, diag_inv, jax.device_put(ops.lam_max, rep), U)
         )
-    cc = np.asarray(ctx.coarse_cho)
     nc, nc_pad = sizes[-1], pads[-1]
-    if nc_pad != nc:
-        cc_pad = np.zeros((nc_pad, nc_pad), dtype=cc.dtype)
-        cc_pad[:nc, :nc] = cc
-        cc_pad[nc:, nc:] = np.eye(nc_pad - nc, dtype=cc.dtype)
-        cc = cc_pad
+
+    def _pad_eye(m):
+        m = np.asarray(m, dtype=np.float64)
+        if nc_pad != nc:
+            mp = np.zeros((nc_pad, nc_pad), dtype=m.dtype)
+            mp[:nc, :nc] = m
+            mp[nc:, nc:] = np.eye(nc_pad - nc, dtype=m.dtype)
+            m = mp
+        return jax.device_put(jnp.asarray(m, dtype=ctx.dtype), rep)
+
+    Ainv, Ad = ctx._host_coarse_inv
     return ShardedContext(
         mesh=mesh,
         levels=tuple(levels),
-        coarse_cho=jax.device_put(jnp.asarray(cc), rep),
+        coarse_op=(_pad_eye(Ainv), _pad_eye(Ad)),
         M=_shard_ell(getattr(ctx, "M_ell", None) or ctx.M, mesh, ndev),
         Minv_diag=jax.device_put(
             _pad_axis(ctx.Minv_diag, 0, pads[0]), NamedSharding(mesh, P("rows"))
@@ -189,7 +194,7 @@ def sharded_cycle_step(sctx: ShardedContext, b: jnp.ndarray, x: jnp.ndarray):
     x = jax.device_put(
         _pad_axis(jnp.asarray(x), 0, sctx.n_rows_pad), sh
     )
-    out = cycle_step(sctx.cfg, sctx.levels, sctx.coarse_cho, b, x)
+    out = cycle_step(sctx.cfg, sctx.levels, sctx.coarse_op, b, x)
     return out[: sctx.n_rows]
 
 
@@ -234,7 +239,7 @@ def sharded_solve(
     x0 = jax.device_put(jnp.zeros_like(b), sh)
     den = residual_denominator(sctx.M, sctx.Minv_diag, b_orig, criteria)
     x, iters, res, trace = fused_solve(
-        sctx.cfg, sctx.levels, sctx.coarse_cho, sctx.M, sctx.Minv_diag,
+        sctx.cfg, sctx.levels, sctx.coarse_op, sctx.M, sctx.Minv_diag,
         b, x0, den, jnp.asarray(tol, dtype), criteria, max_iter,
     )
     out = np.asarray(x, dtype=np.float64)[:n]

@@ -98,9 +98,18 @@ class DistOp:
     halo_pad: int           # halo buffer length, mult of 128, > halo
 
 
-def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype) -> DistOp:
+def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype,
+                   put=None, local_devices: int = 0) -> DistOp:
     """Partition a global csr operator into per-device halo-remapped
-    shuffle-ELL blocks (host-side, once per context)."""
+    shuffle-ELL blocks (host-side, once per context).
+
+    ``put`` materializes each host array on device(s); the default is
+    ``jnp.asarray`` (single-process).  Multi-host contexts pass a
+    sharding-aware put (see parallel/multihost.py host_to_global).
+    ``local_devices`` (devices per process) drives the DCN-first ordering
+    of the exchange steps; 0 means single-host (order by |shift|)."""
+    if put is None:
+        put = jnp.asarray
     assert cl % 128 == 0, "per-device column block must be 128-aligned"
     A = A_csr.tocsr()
     A.sum_duplicates()
@@ -197,16 +206,23 @@ def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype) -> DistOp:
             si[o, : len(idx)] = idx
         for d, posn in recv[s].items():
             rp[d, : len(posn)] = posn
-        steps.append((int(s), jnp.asarray(si), jnp.asarray(rp)))
+        steps.append((int(s), si, rp))
+    # DCN-crossing shifts first so the slow inter-host transfer overlaps
+    # the most interior compute (multihost.py; no-op cost single-host).
+    from .multihost import order_steps_dcn_first
 
+    steps = order_steps_dcn_first(steps, D, local_devices or D)
+    steps = tuple((s, put(si), put(rp)) for (s, si, rp) in steps)
+
+    np_dtype = np.dtype(dtype)
     return DistOp(
-        q=jnp.asarray(q_all),
-        r=jnp.asarray(r_all),
-        v=jnp.asarray(v_all, dtype=dtype),
-        qh=jnp.asarray(qh_all),
-        rh=jnp.asarray(rh_all),
-        vh=jnp.asarray(vh_all, dtype=dtype),
-        steps=tuple(steps),
+        q=put(q_all),
+        r=put(r_all),
+        v=put(v_all.astype(np_dtype)),
+        qh=put(qh_all),
+        rh=put(rh_all),
+        vh=put(vh_all.astype(np_dtype)),
+        steps=steps,
         rows_local=rl,
         cols_local=cl,
         halo=H,
@@ -293,6 +309,20 @@ class HaloContext:
         self.dtype = ctx.dtype
         D = int(mesh.devices.size)
         self.ndev = D
+        # Multi-controller mode: every process runs this same (replicated)
+        # host partitioner but materializes only its addressable shards.
+        self.nproc = int(jax.process_count())
+        self._local_devices = int(jax.local_device_count())
+        if self.nproc > 1:
+            from .multihost import host_to_global
+
+            put = lambda a: host_to_global(      # noqa: E731
+                mesh, P(self.AXIS), np.asarray(a))
+            put_rep = lambda a: host_to_global(  # noqa: E731
+                mesh, P(), np.asarray(a))
+        else:
+            put = put_rep = jnp.asarray
+        self._put, self._put_rep = put, put_rep
 
         chain = ctx.chain_csr
         sizes = [A.shape[0] for A in chain]           # n per level (+coarse)
@@ -303,39 +333,48 @@ class HaloContext:
 
         self.levels: List[_LevelMeta] = []
         diag_inv, lam = [], []
+        ld = self._local_devices if self.nproc > 1 else 0
+        np_dtype = np.dtype(self.dtype)
         for k in range(ctx.cfg.num_levels):
             nl, nlc = self.nloc[k], self.nloc[k + 1]
-            A = _build_dist_op(chain[k], D, nl, nl, self.dtype)
-            U = _build_dist_op(ctx.U_csr[k], D, nl, nlc, self.dtype)
+            A = _build_dist_op(chain[k], D, nl, nl, self.dtype, put, ld)
+            U = _build_dist_op(ctx.U_csr[k], D, nl, nlc, self.dtype, put, ld)
             UT = _build_dist_op(
-                ctx.U_csr[k].T.tocsr(), D, nlc, nl, self.dtype
+                ctx.U_csr[k].T.tocsr(), D, nlc, nl, self.dtype, put, ld
             )
             self.levels.append(_LevelMeta(A, U, UT))
             di = np.zeros((D * nl,), np.float64)
             di[: sizes[k]] = ctx._host_diag_inv[k]
-            diag_inv.append(jnp.asarray(di.reshape(D, nl), dtype=self.dtype))
+            diag_inv.append(put(di.reshape(D, nl).astype(np_dtype)))
             lam.append(float(ctx.host_lam[k]))
         self.lam = tuple(lam)
 
         self.M = _build_dist_op(ctx.mass_csr, D, self.nloc[0], self.nloc[0],
-                                self.dtype)
+                                self.dtype, put, ld)
         minv = np.zeros((D * self.nloc[0],), np.float64)
         minv[: self.n] = np.asarray(ctx.Minv_diag, dtype=np.float64)
-        self._minv = jnp.asarray(minv.reshape(D, self.nloc[0]),
-                                 dtype=self.dtype)
+        self._minv = put(minv.reshape(D, self.nloc[0]).astype(np_dtype))
         self._diag_inv = tuple(diag_inv)
 
-        # Replicated coarse factor, identity-padded to the sharded size.
-        cc = np.asarray(ctx.coarse_cho)
-        nc = cc.shape[0]
-        self.nc = nc
-        nc_pad = D * self.nloc[-1]
-        if nc_pad != nc:
-            cp = np.zeros((nc_pad, nc_pad), cc.dtype)
-            cp[:nc, :nc] = cc
-            cp[nc:, nc:] = np.eye(nc_pad - nc, dtype=cc.dtype)
-            cc = cp
-        self._coarse_cho = jnp.asarray(cc)
+        # Replicated coarse inverse + operator (multigrid._coarse_solve's
+        # two-matmul scheme), identity-padded to the sharded size — the
+        # padded block is its own inverse, so padded rows of a zero-padded
+        # rc produce exact zeros through apply and refinement alike.
+        def _pad_identity(mat):
+            m = np.asarray(mat, dtype=np.float64)
+            nc_ = m.shape[0]
+            nc_pad = D * self.nloc[-1]
+            if nc_pad != nc_:
+                mp = np.zeros((nc_pad, nc_pad), m.dtype)
+                mp[:nc_, :nc_] = m
+                mp[nc_:, nc_:] = np.eye(nc_pad - nc_, dtype=m.dtype)
+                m = mp
+            return m.astype(np_dtype)
+
+        Ainv, Ad = ctx._host_coarse_inv
+        self.nc = Ainv.shape[0]
+        self._coarse_op = (put_rep(_pad_identity(Ainv)),
+                           put_rep(_pad_identity(Ad)))
 
         self._arrays = (
             tuple(
@@ -361,13 +400,14 @@ class HaloContext:
             lam_max / cfg.cheb_ratio, cfg.cheb_safety * lam_max,
         )
 
-    def _coarse(self, coarse_cho, rc_loc):
+    def _coarse(self, coarse, rc_loc):
         rc = jax.lax.all_gather(rc_loc, self.AXIS, tiled=True)
         one_d = rc.ndim == 1
         rc2 = rc[:, None] if one_d else rc
-        e = jax.scipy.linalg.cho_solve(
-            (coarse_cho, True), rc2.astype(coarse_cho.dtype)
-        )
+        Ainv, Ad = coarse
+        rc2 = rc2.astype(Ainv.dtype)
+        e = Ainv @ rc2
+        e = e + Ainv @ (rc2 - Ad @ e)
         if self.cfg.coarse_null_project:
             # Padded rows solve an identity block against zero RHS, so the
             # column sums over the real nc rows equal full-vector sums.
@@ -380,7 +420,7 @@ class HaloContext:
         size = (self.nloc[-1],) + e.shape[1:]
         return jax.lax.dynamic_slice(e, start, size)
 
-    def _cycle(self, ops, coarse_cho, b, x, k: int, kind: int):
+    def _cycle(self, ops, coarse, b, x, k: int, kind: int):
         cfg = self.cfg
         lvl_arrays, spmvs = ops
         dspmv_A, dspmv_U, dspmv_UT, diag_inv = spmvs[k]
@@ -388,9 +428,9 @@ class HaloContext:
         r = b - dspmv_A(x)
         rc = dspmv_UT(r)
         if k == cfg.num_levels - 1:
-            e = self._coarse(coarse_cho, rc)
+            e = self._coarse(coarse, rc)
         else:
-            e = self._cycle(ops, coarse_cho, rc, jnp.zeros_like(rc),
+            e = self._cycle(ops, coarse, rc, jnp.zeros_like(rc),
                             k + 1, kind)
         x = x + dspmv_U(e)
         x = self._smooth(dspmv_A, diag_inv, self.lam[k], b, x, cfg.post_iters)
@@ -398,10 +438,10 @@ class HaloContext:
             r = b - dspmv_A(x)
             rc = dspmv_UT(r)
             if k == cfg.num_levels - 1:
-                e = self._coarse(coarse_cho, rc)
+                e = self._coarse(coarse, rc)
             else:
                 kind2 = int(CycleType.V) if kind == int(CycleType.F) else kind
-                e = self._cycle(ops, coarse_cho, rc, jnp.zeros_like(rc),
+                e = self._cycle(ops, coarse, rc, jnp.zeros_like(rc),
                                 k + 1, kind2)
             x = x + dspmv_U(e)
             x = self._smooth(dspmv_A, diag_inv, self.lam[k], b, x,
@@ -426,7 +466,7 @@ class HaloContext:
         axis, D = self.AXIS, self.ndev
         mesh = self.mesh
 
-        def body(arrays, coarse_cho, b_loc, x_loc, den, tol):
+        def body(arrays, coarse, b_loc, x_loc, den, tol):
             lvl_arrays, M_arrays, diag_inv, minv = arrays
             spmvs = []
             for k, m in enumerate(self.levels):
@@ -450,7 +490,7 @@ class HaloContext:
 
             def step(carry):
                 x, it, _ = carry
-                x = self._cycle(ops, coarse_cho, b_loc, x, 0,
+                x = self._cycle(ops, coarse, b_loc, x, 0,
                                 self.cfg.cycle_type)
                 num_sq = self._residual_num_sq(
                     dspmv_A0, dspmv_M, minv[0], b_loc, x, criteria
@@ -462,13 +502,15 @@ class HaloContext:
                 cond, step,
                 (x_loc, jnp.int32(0), jnp.asarray(jnp.inf, x_loc.dtype)),
             )
-            return x, iters, res
+            # Replicate the solution so every process can read it host-side
+            # (multi-controller processes only address their own shards).
+            return jax.lax.all_gather(x, axis, tiled=True), iters, res
 
         shard_body = jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(P(axis), P(), P(axis), P(axis), P(), P()),
-            out_specs=(P(axis), P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(shard_body)
@@ -522,7 +564,8 @@ class HaloContext:
 
         b = np.zeros((pad0, d), np.float64)
         b[:n] = b_eff
-        b = jnp.asarray(b[:, 0] if squeeze else b, dtype=self.dtype)
+        np_dtype = np.dtype(self.dtype)
+        b = self._put((b[:, 0] if squeeze else b).astype(np_dtype))
         x0 = jnp.zeros_like(b)
 
         key = (criteria, max_iter, None if squeeze else d)
@@ -530,9 +573,10 @@ class HaloContext:
             self._fused = (key, self._make_fused(criteria, max_iter))
         fused = self._fused[1]
         x, iters, res = fused(
-            self._arrays, self._coarse_cho, b, x0,
-            jnp.asarray(den[0] if squeeze else den, self.dtype),
-            jnp.asarray(tol, self.dtype),
+            self._arrays, self._coarse_op, b, x0,
+            self._put_rep(np.asarray(
+                den[0] if squeeze else den, dtype=np_dtype)),
+            self._put_rep(np.asarray(tol, dtype=np_dtype)),
         )
         y = np.asarray(x, dtype=np.float64)[:n]
         y = (y + alpha[0]) if squeeze else (y + alpha[None, :])

@@ -112,28 +112,41 @@ def _smooth(cfg: SolverConfig, ops: LevelOps, b, x, iters: int):
     return chebyshev(ops.A, ops.diag_inv, b, x, iters, lam_min, lam_max)
 
 
-def _coarse_solve(coarse_cho, rc, null_project: bool = False):
+def _coarse_solve(coarse, rc, null_project: bool = False):
+    """Coarsest-level solve as two MXU matmuls: apply the host-precomputed
+    (regularized) inverse, then one iterative-refinement step.
+
+    Rationale: ``cho_solve`` of the 282x282 f64 factor costs ~3.4 ms per
+    call on v5e (f64 triangular solves are sequential scalar-unit work and
+    f64 is software-emulated) — 36% of a whole V-cycle at 1M vertices.
+    The inverse apply in compute dtype is 0.07 ms.  The refinement step
+    ``e += Ainv (rc - Ad e)`` squares the effective accuracy, so even in
+    f32 the coarse correction is exact to well below smoother noise; in
+    f64 contexts it is LU-quality (tests/test_f64.py solves to 1e-10).
+    ``coarse = (Ainv, Ad)``, both in compute dtype, Ad regularized
+    identically to the inverse (see coarse_inverse_host).
+    """
+    Ainv, Ad = coarse
     one_d = rc.ndim == 1
-    rhs = rc[:, None] if one_d else rc
-    e = jax.scipy.linalg.cho_solve(
-        (coarse_cho, True), rhs.astype(coarse_cho.dtype)
-    )
+    rhs = (rc[:, None] if one_d else rc).astype(Ainv.dtype)
+    e = Ainv @ rhs
+    e = e + Ainv @ (rhs - Ad @ e)
     if null_project:
         e = e - jnp.mean(e, axis=0, keepdims=True)
     e = e.astype(rc.dtype)
     return e[:, 0] if one_d else e
 
 
-def _cycle(cfg: SolverConfig, levels, coarse_cho, b, x, k: int, kind: int):
+def _cycle(cfg: SolverConfig, levels, coarse, b, x, k: int, kind: int):
     """Recursive cycle, unrolled at trace time (kind: 0=V, 1=F, 2=W)."""
     ops = levels[k]
     x = _smooth(cfg, ops, b, x, cfg.pre_iters)
     r = b - spmv(ops.A, x)
     rc = ops.U.restrict(r)
     if k == cfg.num_levels - 1:
-        e = _coarse_solve(coarse_cho, rc, cfg.coarse_null_project)
+        e = _coarse_solve(coarse, rc, cfg.coarse_null_project)
     else:
-        e = _cycle(cfg, levels, coarse_cho, rc, jnp.zeros_like(rc), k + 1, kind)
+        e = _cycle(cfg, levels, coarse, rc, jnp.zeros_like(rc), k + 1, kind)
     x = x + ops.U.prolong(e)
     x = _smooth(cfg, ops, b, x, cfg.post_iters)
     if kind != int(CycleType.V):
@@ -142,11 +155,11 @@ def _cycle(cfg: SolverConfig, levels, coarse_cho, b, x, k: int, kind: int):
         r = b - spmv(ops.A, x)
         rc = ops.U.restrict(r)
         if k == cfg.num_levels - 1:
-            e = _coarse_solve(coarse_cho, rc, cfg.coarse_null_project)
+            e = _coarse_solve(coarse, rc, cfg.coarse_null_project)
         else:
             kind2 = int(CycleType.V) if kind == int(CycleType.F) else kind
             e = _cycle(
-                cfg, levels, coarse_cho, rc, jnp.zeros_like(rc), k + 1, kind2
+                cfg, levels, coarse, rc, jnp.zeros_like(rc), k + 1, kind2
             )
         x = x + ops.U.prolong(e)
         x = _smooth(cfg, ops, b, x, cfg.post_iters)
@@ -154,13 +167,13 @@ def _cycle(cfg: SolverConfig, levels, coarse_cho, b, x, k: int, kind: int):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def cycle_step(cfg: SolverConfig, levels, coarse_cho, b, x):
-    return _cycle(cfg, levels, coarse_cho, b, x, 0, cfg.cycle_type)
+def cycle_step(cfg: SolverConfig, levels, coarse, b, x):
+    return _cycle(cfg, levels, coarse, b, x, 0, cfg.cycle_type)
 
 
 @partial(jax.jit, static_argnames=("cfg", "criteria", "max_iter"))
 def fused_solve(
-    cfg: SolverConfig, levels, coarse_cho, M, Minv_diag, b, x0, den,
+    cfg: SolverConfig, levels, coarse, M, Minv_diag, b, x0, den,
     tol, criteria: int, max_iter: int,
 ):
     """Entire iterate-to-tolerance loop on device; returns the residual
@@ -177,7 +190,7 @@ def fused_solve(
 
     def body(carry):
         x, it, _, trace = carry
-        x = _cycle(cfg, levels, coarse_cho, b, x, 0, cfg.cycle_type)
+        x = _cycle(cfg, levels, coarse, b, x, 0, cfg.cycle_type)
         num = residual_numerator(A, M, Minv_diag, b, x, criteria)
         res = jnp.max(num / den)
         trace = trace.at[it].set(res)
@@ -249,6 +262,24 @@ def lambda_max_host(A_csr, diag_inv: np.ndarray, iters: int = 15,
         lam = np.linalg.norm(w)
         v = w / max(lam, 1e-30)
     return float(lam)
+
+
+def coarse_inverse_host(A_coarse_csr, null_fix: bool):
+    """(Ainv, Ad) f64 numpy: explicit inverse of the regularized coarse
+    operator plus the regularized dense operator itself (for the device
+    refinement step in _coarse_solve).  Built from the Cholesky factor
+    (coarse_factor_host) rather than np.linalg.inv for stability."""
+    import scipy.linalg
+
+    cho = coarse_factor_host(A_coarse_csr, null_fix)
+    nc = cho.shape[0]
+    Ainv = scipy.linalg.cho_solve((cho, True), np.eye(nc))
+    Ad = np.asarray(A_coarse_csr.todense(), dtype=np.float64)
+    diag_scale = float(np.mean(np.abs(np.diag(Ad))))
+    Ad[np.diag_indices(nc)] += 1e-12 * diag_scale
+    if null_fix:
+        Ad += diag_scale / nc
+    return Ainv, Ad
 
 
 def coarse_factor_host(A_coarse_csr, null_fix: bool) -> np.ndarray:
@@ -379,9 +410,13 @@ class MultigridSolveContext:
         self.levels = tuple(shuf_levels)
         self._ell_levels = None   # built lazily (GSPMD dist path only)
         t1 = time.perf_counter()
-        cho = coarse_factor_host(chain[-1], self.near_singular)
-        self.coarse_cho = jnp.asarray(cho)
-        jax.block_until_ready(self.coarse_cho)
+        Ainv, Ad = coarse_inverse_host(chain[-1], self.near_singular)
+        self._host_coarse_inv = (Ainv, Ad)   # f64, for the halo partitioner
+        self.coarse_op = (
+            jnp.asarray(Ainv, dtype=self.dtype),
+            jnp.asarray(Ad, dtype=self.dtype),
+        )
+        jax.block_until_ready(self.coarse_op)
         self.timing["setup_values"] = t_values * 1000
         self.timing["setup_spectral"] = t_spec * 1000
         self.timing["setup_coarse_factor"] = (time.perf_counter() - t1) * 1000
@@ -509,15 +544,22 @@ class MultigridSolveContext:
         if mode == "fused":
             t0 = time.perf_counter()
             x, iters, res, trace = fused_solve(
-                cfg, self.levels, self.coarse_cho, self.M, self.Minv_diag,
+                cfg, self.levels, self.coarse_op, self.M, self.Minv_diag,
                 b, x, den, jnp.asarray(tol, self.dtype), criteria, max_iter,
             )
-            # ONE batched device_get: through the TPU relay every separate
-            # host pull is a ~25 ms round trip (and block_until_ready does
-            # not actually synchronize), so int(iters)/float(res)/asarray
-            # as separate calls cost 3 extra round trips per solve.
-            x, iters, res, trace = jax.device_get((x, iters, res, trace))
+            # Timing stamp: sync on the SCALAR outputs only.  They are
+            # outputs of the same fused program as x, so their arrival
+            # proves the whole solve finished; the stamp pays one ~25 ms
+            # relay round trip but NOT the bulk d2h of the solution
+            # (~4 MB at the relay's ~13 MB/s would inflate 'cycles' by
+            # ~340 ms — a tunnel artifact; on directly-attached TPUs the
+            # same transfer is sub-ms).  block_until_ready waits for
+            # computation but does not fetch values, so through the relay
+            # a scalar device_get is the reliable sync.  The solution and
+            # trace are fetched after the stamp, batched into one pull.
+            iters, res = jax.device_get((iters, res))
             elapsed = (time.perf_counter() - t0) * 1000
+            x, trace = jax.device_get((x, trace))
             iters = int(iters)
             res = float(res)
             trace = trace[:iters]
@@ -536,7 +578,7 @@ class MultigridSolveContext:
             iters = 0
             res = float("inf")
             while res > tol and iters < max_iter:
-                x = cycle_step(cfg, self.levels, self.coarse_cho, b, x)
+                x = cycle_step(cfg, self.levels, self.coarse_op, b, x)
                 num = residual_numerator(
                     A, self.M, self.Minv_diag, b, x, criteria
                 )

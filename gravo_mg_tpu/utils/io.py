@@ -180,6 +180,16 @@ def write_sparse_matrix(filename, A):
             f.write(f"{i} {j} {v}\n")
 
 
+def write_dense_matrix(filename, M):
+    """Text dump of a dense matrix (utility.cpp:94-104
+    ``writeMatrixToFile`` analog): tab-separated rows."""
+    M = np.asarray(M)
+    if M.ndim == 1:
+        M = M[:, None]
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    np.savetxt(filename, M, delimiter="\t", fmt="%.17g")
+
+
 def save_hierarchy(filename, hierarchy):
     """Serialize a hierarchy to a .npz so expensive setup is reusable
     across processes (SURVEY.md §5 checkpoint/resume requirement)."""

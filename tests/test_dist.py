@@ -42,7 +42,7 @@ def test_sharded_cycle_matches_single_device(setup):
     x0 = jnp.zeros_like(b)
     from gravo_mg_tpu.solver.multigrid import cycle_step
 
-    x_single = np.asarray(cycle_step(ctx.cfg, ctx.levels, ctx.coarse_cho, b, x0))
+    x_single = np.asarray(cycle_step(ctx.cfg, ctx.levels, ctx.coarse_op, b, x0))
     x_dist = np.asarray(sharded_cycle_step(sctx, rhs[:, 0], np.zeros(len(rhs))))
     scale = np.abs(x_single).max()
     assert np.abs(x_dist - x_single).max() < 1e-5 * max(scale, 1.0)
