@@ -42,7 +42,7 @@ class MultigridSolver:
     def __init__(
         self, pos, neigh, mass,
         ratio=8.0, lower_bound=1000, cycle_type=0, tolerance=1e-4,
-        stopping_criteria=2, pre_iters=2, post_iters=2, max_iter=100,
+        stopping_criteria=2, pre_iters=4, post_iters=4, max_iter=100,
         check_voronoi=True, nested=False,
         sampling_strategy=Sampling.FASTDISK, weighting=Weighting.BARYCENTRIC,
         sig06=False, normals=None, verbose=False, debug=False,
@@ -54,6 +54,11 @@ class MultigridSolver:
 
         Args mirror the reference (`core.py:8-57`); the extra
         ``smoother``/``dtype``/``seed`` args are TPU-native knobs.
+        Deviation: ``pre_iters``/``post_iters`` default to 4 (Chebyshev
+        degree, retuned round 4 — see SolverConfig.cheb_ratio) rather
+        than the reference's 2 Gauss-Seidel sweeps; the smoothers
+        differ, so the tuned defaults target the same convergence
+        contract (tolerance in <= cycles), not sweep-count parity.
         """
         self.pos = np.asarray(pos, dtype=np.float64)
         self.neigh = np.asarray(neigh, dtype=np.int32)

@@ -36,13 +36,14 @@ import numpy as np
 from ..enums import CycleType, Smoother
 from ..hierarchy.builder import Hierarchy
 from ..sparse import (
+    DiagEll,
     EllMatrix,
     Prolongation,
     ShuffleEll,
     ShuffleTransfer,
+    diag_plan_arrays,
     ell_from_scipy,
     shuffle_from_scipy,
-    shuffle_plan_arrays,
     spmv,
 )
 from .residual import residual_denominator, residual_norm, residual_numerator
@@ -72,16 +73,21 @@ class SolverConfig:
     """Static cycle configuration (hashable; jit static argument)."""
 
     cycle_type: int = int(CycleType.V)
-    pre_iters: int = 2
-    post_iters: int = 2
+    pre_iters: int = 4
+    post_iters: int = 4
     smoother: int = int(Smoother.CHEBYSHEV)
     jacobi_omega: float = 2.0 / 3.0
-    # Smoothing band [lam_max/cheb_ratio, cheb_safety*lam_max].  Ratio 4
-    # tuned empirically for degree-2 sweeps with ratio-8 coarsening:
-    # 3 cycles to 1e-4 on (M + 1e-3 S), 5 on (1e-6 M + S) — see
-    # tests/test_solver.py.  Wider bands (the literature's /30) need
-    # higher degrees and lose badly at degree 2.
-    cheb_ratio: float = 4.0
+    # Smoothing band [lam_max/cheb_ratio, cheb_safety*lam_max].  Retuned
+    # in round 4 (experiments/tune_smoother.py sweep, validated at 1M by
+    # experiments/tune_1m.py): cycles-to-1e-4 on the 1M Poisson bench by
+    # (degree, ratio) — (2,4): 15, (2,12): 11, (3,12): 7, (4,12): 5,
+    # with total cycle cost minimized at degree 4 / ratio 12 (76 ms vs
+    # 139 ms).  The knee is flat in [8, 16]; beyond ~24 the band is too
+    # wide for these degrees and counts rise again.  The reference's
+    # default of TWO Gauss-Seidel sweeps (multigrid_solver.cpp:1194-1226)
+    # maps to a comparable per-cycle contraction; parity is convergence
+    # at tolerance, not sweep-for-sweep equivalence (SURVEY §7.3).
+    cheb_ratio: float = 12.0
     cheb_safety: float = 1.1
     num_levels: int = 0
     # Mixed precision.  The Galerkin chain is always computed in f64 on the
@@ -354,8 +360,7 @@ class MultigridSolveContext:
         # --- shuffle layouts (pattern-only, reused across LHS values) -----
         t0 = time.perf_counter()
         self._shuf_np = [
-            shuffle_plan_arrays(idx, mask, idx.shape[1])
-            for (idx, mask) in self._patterns
+            self._plan_level(idx, mask) for (idx, mask) in self._patterns
         ]
         self.timing["setup_shuffle_layout"] = (time.perf_counter() - t0) * 1000
         t1 = time.perf_counter()
@@ -367,6 +372,31 @@ class MultigridSolveContext:
 
         # --- values: fill layouts, spectral bounds, coarse factor, upload -
         self._reduce_and_upload(chain)
+
+    def _plan_level(self, idx, mask):
+        """Per-level sparse-layout choice (tagged plan tuple).
+
+        Fine levels (>= 4096 row-groups, i.e. >= ~512k rows) get the
+        diagonal-run DiagEll layout: its in-kernel slice DMA removes the
+        gathered-z HBM round trip and measured 49 vs 25 Gnnz/s against
+        ShuffleEll at 1M rows.  It is only built when its slot padding
+        stays within 2x of ShuffleEll's (per-slot traffic is 12 B vs
+        16 B + gather, so beyond ~2x padding it loses — e.g. matrices
+        whose index ordering has no block-diagonal locality).  Everything
+        else — small levels, diag-hostile patterns — uses ShuffleEll.
+        """
+        from ..sparse import shuffle_plan_arrays
+
+        n = idx.shape[1]
+        s_groups = -(-n // 128)
+        if s_groups >= 4096:
+            dplan = diag_plan_arrays(idx, mask, idx.shape[1])
+            splan = shuffle_plan_arrays(idx, mask, idx.shape[1])
+            kp_d, kp_s = dplan[2].shape[0], splan[0].shape[0]
+            if dplan[1] == 512 and 12 * kp_d <= 2 * 16 * kp_s:
+                return ("diag",) + dplan
+            return ("shuf",) + splan
+        return ("shuf",) + shuffle_plan_arrays(idx, mask, idx.shape[1])
 
     def _build_transfer(self, Ucsr) -> ShuffleTransfer:
         return ShuffleTransfer(
@@ -391,13 +421,23 @@ class MultigridSolveContext:
             t2 = time.perf_counter()
             lam = lambda_max_host(A, diag_inv_np)
             t3 = time.perf_counter()
-            q, r, src = self._shuf_np[k]
-            v = np.append(vals.ravel(), 0.0)[src]
-            A_shuf = ShuffleEll(
-                jnp.asarray(q), jnp.asarray(r),
-                jnp.asarray(v, dtype=self.dtype),
-                A.shape[0], A.shape[1],
-            )
+            plan = self._shuf_np[k]
+            if plan[0] == "diag":
+                _, start, tg, r, src = plan
+                v = np.append(vals.ravel(), 0.0)[src]
+                A_shuf = DiagEll(
+                    jnp.asarray(start), jnp.asarray(r),
+                    jnp.asarray(v, dtype=self.dtype),
+                    tg, A.shape[0], A.shape[1],
+                )
+            else:
+                _, q, r, src = plan
+                v = np.append(vals.ravel(), 0.0)[src]
+                A_shuf = ShuffleEll(
+                    jnp.asarray(q), jnp.asarray(r),
+                    jnp.asarray(v, dtype=self.dtype),
+                    A.shape[0], A.shape[1],
+                )
             diag_inv = jnp.asarray(diag_inv_np, dtype=self.dtype)
             lam_j = jnp.asarray(lam, dtype=self.dtype)
             shuf_levels.append(
@@ -466,6 +506,12 @@ class MultigridSolveContext:
         self.near_singular = (
             abs(float(self.row_sums.sum())) < 1e-6 * scale * n
         )
+        # Device copy (f64) so solve() can deflate on device: per-solve
+        # host->device traffic is then ONE rhs upload instead of rhs +
+        # deflated-rhs + x0 (through the relay tunnel bulk h2d runs at
+        # ~15 MB/s, so each avoided 4-8 MB upload saves ~0.3-0.5 s of
+        # per-solve latency; on directly-attached TPUs this is sub-ms).
+        self._row_sums_dev = jnp.asarray(self.row_sums)
 
     def update_lhs(self, lhs_csr):
         """Re-run the value-only reduction for a new LHS with the same
@@ -512,6 +558,7 @@ class MultigridSolveContext:
         exact algebra, not an approximation; residual denominators use the
         original RHS, matching the reference's criteria.
         """
+        t_up = time.perf_counter()
         rhs = np.asarray(rhs, dtype=np.float64)
         squeeze = rhs.ndim == 1
         rhs2 = rhs[:, None] if squeeze else rhs
@@ -522,16 +569,30 @@ class MultigridSolveContext:
             alpha = rhs2.sum(axis=0) / denom  # (d,) f64
         else:
             alpha = np.zeros(rhs2.shape[1])
-        b_eff64 = rhs2 - alpha[None, :] * self.row_sums[:, None]
-        b = jnp.asarray(
-            b_eff64[:, 0] if squeeze else b_eff64, dtype=self.dtype
+        # ONE compute-dtype upload of the raw rhs; the exact f64 deflation
+        # ``b = rhs - alpha * (A @ 1)`` runs on device against the f64
+        # row_sums copy made at setup.  Accuracy is unchanged up to the
+        # initial compute-dtype quantization of rhs (which the previous
+        # host-deflated upload paid too); alpha itself stays exact f64
+        # host algebra.
+        rhs_dev = jnp.asarray(
+            rhs2[:, 0] if squeeze else rhs2, dtype=self.dtype
+        )
+        alpha_dev = jnp.asarray(alpha[0] if squeeze else alpha[None, :])
+        rs_dev = (
+            self._row_sums_dev if squeeze else self._row_sums_dev[:, None]
+        )
+        b = (rhs_dev.astype(jnp.float64) - alpha_dev * rs_dev).astype(
+            self.dtype
         )
         den = residual_denominator(
-            self.M, self.Minv_diag, jnp.asarray(
-                rhs2[:, 0] if squeeze else rhs2, dtype=self.dtype
-            ), criteria,
+            self.M, self.Minv_diag, rhs_dev, criteria
         )
         if x0 is not None:
+            # x0 deflation stays host-side f64: for near-singular systems
+            # a warm start sits at O(alpha) magnitude and y0 = x0 - alpha
+            # is a genuine cancellation — it must happen before the
+            # compute-dtype rounding, unlike the rhs deflation above.
             x0 = np.asarray(x0, dtype=np.float64)
             x0_2 = x0[:, None] if x0.ndim == 1 else x0
             y0 = x0_2 - alpha[None, :]
@@ -541,6 +602,13 @@ class MultigridSolveContext:
         cfg = self.cfg
         A = self.levels[0].A
         convergence: list = []
+        # The upload (and the device deflation riding on it) is per-solve
+        # I/O, not iteration work: 'cycles' starts once operands are
+        # resident, matching the reference's timing of its iteration loop
+        # only (multigrid_solver.cpp:1279-1485 — the RHS already sits in
+        # process memory there).
+        jax.block_until_ready((b, den, x))
+        self.timing["solve_upload"] = (time.perf_counter() - t_up) * 1000
         if mode == "fused":
             t0 = time.perf_counter()
             x, iters, res, trace = fused_solve(

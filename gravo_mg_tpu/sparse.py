@@ -109,6 +109,11 @@ def spmv(A, x: jnp.ndarray) -> jnp.ndarray:
     """
     if isinstance(A, ShuffleEll):
         return shuffle_spmv(A, x)
+    if isinstance(A, DiagEll):
+        if x.ndim == 1:
+            return diag_spmv_1d(A, x)
+        cols = [diag_spmv_1d(A, x[:, i]) for i in range(x.shape[1])]
+        return jnp.stack(cols, axis=1)
     if x.ndim == 1:
         return spmv_1d(A, x)
     return jax.vmap(lambda c: spmv_1d(A, c), in_axes=1, out_axes=1)(x)
@@ -273,6 +278,231 @@ def shuffle_from_scipy(A, dtype=jnp.float32) -> ShuffleEll:
         jnp.asarray(v.reshape(kp, s, 128), dtype=dtype),
         nr, nc,
     )
+
+
+# ---------------------------------------------------------------------------
+# Diag-ELL: diagonal-run layout — SpMV with zero gather phase
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DiagEll:
+    """Sparse matrix in diagonal-run shuffle layout (see ops/diag_spmv.py).
+
+    Like ShuffleEll but the per-(slot, group) source block is an
+    arithmetic run within each tile of TG groups: block(k, g0+s) =
+    start[tile, k] - TG + s.  SpMV then needs NO gather at all — the
+    kernel DMAs one contiguous (TG, 128) slice of the (zero-padded)
+    x-block array per (tile, slot) and applies the lane shuffle + FMA.
+    Slots are allocated per (tile, block-diagonal) by ``_diag_layout``;
+    the whole-matrix slot count KP is the max over tiles of the
+    per-tile diagonal multiplicity sum.
+
+    Used for the square level operators of the V-cycle (the ~5
+    A-applies/cycle hot path).  Transfers keep ShuffleEll: their
+    rectangular block mapping advances by ncols/nrows per group, which
+    has no run structure.
+    """
+
+    start: jnp.ndarray  # (n_tiles, KP) int32 — g0 + d + TG per slot
+    r: jnp.ndarray      # (KP, S, 128) int32 — lane within block
+    v: jnp.ndarray      # (KP, S, 128) — values (0 = padding)
+    tg: int             # groups per tile (static)
+    nrows: int
+    ncols: int
+
+    def tree_flatten(self):
+        return (self.start, self.r, self.v), (self.tg, self.nrows, self.ncols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def kp(self):
+        return self.start.shape[1]
+
+    def _q_table(self) -> np.ndarray:
+        """(KP, S) source-block table (clipped), for to_scipy/debug."""
+        st = np.asarray(self.start)
+        n_tiles, kp = st.shape
+        s = self.r.shape[1]
+        g = np.arange(s)
+        q = st[g // self.tg].T - self.tg + (g % self.tg)[None, :]
+        nb = -(-self.ncols // 128)
+        return np.clip(q, 0, nb - 1)
+
+    def to_scipy(self) -> sp.csr_matrix:
+        q = self._q_table()
+        rn = np.asarray(self.r, dtype=np.int64)
+        vn = np.asarray(self.v)
+        cols = (q[:, :, None].astype(np.int64) * 128 + rn).reshape(-1)
+        kp, s = q.shape
+        rows = np.tile(
+            np.arange(s * 128, dtype=np.int64).reshape(1, s, 128), (kp, 1, 1)
+        ).reshape(-1)
+        vals = vn.reshape(-1)
+        keep = (vals != 0) & (rows < self.nrows) & (cols < self.ncols)
+        m = sp.coo_matrix(
+            (vals[keep], (rows[keep], cols[keep])),
+            shape=(self.nrows, self.ncols),
+        )
+        m.sum_duplicates()
+        return m.tocsr()
+
+
+def _pick_tg(s_groups: int) -> int:
+    """Tile size (groups) for the diag layout: big tiles amortize DMA
+    startup (256 KB slices at TG=512) but must not dwarf the matrix."""
+    if s_groups >= 4096:
+        return 512
+    if s_groups >= 512:
+        return 128
+    return 32
+
+
+def _diag_layout(rows: np.ndarray, cols: np.ndarray, nr: int, nc: int,
+                 kc: int = 4, tg: int | None = None):
+    """Host-side diagonal-run slot assignment (see DiagEll).
+
+    Returns (kp, S_pad, tg, start_tbl (n_tiles, kp) i32, flat_pos):
+    ``flat_pos[p]`` is the destination of nnz p in the flattened
+    (KP, S_pad, 128) arrays.  Slots per tile are allocated per distinct
+    block-diagonal d in descending multiplicity... (insertion order:
+    diagonals sorted by d; occupancy per (tile, d) = max over (group,
+    lane) of the entry multiplicity, exactly like the (group, block)
+    segments of ``_shuffle_layout`` but with diagonal-run semantics).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    nnz = rows.size
+    S = max(-(-nr // 128), 1)
+    if tg is None:
+        tg = _pick_tg(S)
+    S_pad = S + (-S) % tg
+    n_tiles = S_pad // tg
+    if nnz == 0:
+        start = np.full((n_tiles, kc), tg, np.int32)
+        return kc, S_pad, tg, start, np.zeros((0,), np.int64)
+    grp = rows >> 7
+    lane = rows & 127
+    blk = cols >> 7
+    nb = int(blk.max()) + 1
+    tile = grp // tg
+    s_in = grp - tile * tg
+    d = blk - grp          # block diagonal, in [-(S-1), nb)
+    dshift = d + S         # >= 1... non-negative
+    nd = int(dshift.max()) + 1
+    # composite sort key (tile, d, s_in, lane); everything after the sort
+    # is one linear scan, mirroring _shuffle_layout.
+    comp = ((tile * nd + dshift) * tg + s_in) * 128 + lane
+    from .native import argsort_i64
+
+    res = argsort_i64(comp)
+    if res is not None:
+        comp_s, order = res
+    else:
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+    # occurrence rank within identical (tile, d, s_in, lane)
+    new = np.ones(nnz, dtype=bool)
+    new[1:] = comp_s[1:] != comp_s[:-1]
+    run_start = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1
+    t = np.arange(nnz, dtype=np.int64) - run_start[run_id]
+    # (tile, d) segments; occupancy m = max lane-group multiplicity
+    td_s = comp_s // (tg * 128)
+    new2 = np.ones(nnz, dtype=bool)
+    new2[1:] = td_s[1:] != td_s[:-1]
+    seg_start = np.flatnonzero(new2)
+    seg_id = np.cumsum(new2) - 1
+    m = np.maximum.reduceat(t, seg_start) + 1
+    tile_seg = td_s[seg_start] // nd
+    d_seg = td_s[seg_start] % nd - S
+    base_global = np.cumsum(m) - m
+    first_seg = np.searchsorted(tile_seg, tile_seg)
+    base_in_tile = base_global - base_global[first_seg]
+    kp = int((base_in_tile + m).max())
+    kp += (-kp) % kc
+    slot_nnz = base_in_tile[seg_id] + t
+    flat_pos = np.empty(nnz, dtype=np.int64)
+    grp_sorted = (comp_s // 128) % tg + tile_seg[seg_id] * tg
+    flat_pos[order] = (slot_nnz * S_pad + grp_sorted) * 128 + (comp_s & 127)
+    # start table: slot of (tile, d) holds g0 + d + TG (padded offset);
+    # unassigned (pad) slots point at the zero region start = 0 -> any
+    # in-bounds slice (their v is 0); use tg (the first real block) to
+    # stay within [0, NB + 2TG) for every tile.
+    start = np.full((n_tiles, kp), tg, np.int64)
+    for_rows = np.repeat(np.arange(len(m)), m)
+    ksl = base_in_tile[for_rows] + (
+        np.arange(int(m.sum()), dtype=np.int64) - np.repeat(base_global, m)
+    )
+    start[tile_seg[for_rows], ksl] = (
+        tile_seg[for_rows] * tg + d_seg[for_rows] + tg
+    )
+    return kp, S_pad, tg, start.astype(np.int32), flat_pos
+
+
+def diag_plan_arrays(idx: np.ndarray, mask: np.ndarray, ncols: int):
+    """Diag-run layout of a transposed-ELL pattern (host numpy).
+
+    Returns (start (n_tiles, KP) i32, tg, r (KP, S, 128) i32,
+    src (KP, S, 128) i32) with ``src`` indexing the flattened (K*N,)
+    ELL values (K*N = padding, routed to an appended zero)."""
+    idx = np.asarray(idx)
+    mask = np.asarray(mask, dtype=bool)
+    k, n = idx.shape
+    ell_pos = np.arange(k * n, dtype=np.int64)[mask.reshape(-1)]
+    rows = np.tile(np.arange(n, dtype=np.int64), (k, 1)).reshape(-1)[
+        mask.reshape(-1)
+    ]
+    cols = idx.reshape(-1)[mask.reshape(-1)].astype(np.int64)
+    kp, s_pad, tg, start, pos = _diag_layout(rows, cols, n, ncols)
+    r = np.zeros((kp * s_pad * 128,), np.int32)
+    src = np.full((kp * s_pad * 128,), k * n, np.int32)
+    r[pos] = cols & 127
+    src[pos] = ell_pos
+    return start, tg, r.reshape(kp, s_pad, 128), src.reshape(kp, s_pad, 128)
+
+
+def diag_from_scipy(A, dtype=jnp.float32) -> DiagEll:
+    """Convert any scipy sparse matrix to DiagEll (host-side)."""
+    A = A.tocoo()
+    A.sum_duplicates()
+    nr, nc = A.shape
+    kp, s_pad, tg, start, pos = _diag_layout(
+        np.asarray(A.row, np.int64), np.asarray(A.col, np.int64), nr, nc
+    )
+    r = np.zeros((kp * s_pad * 128,), np.int32)
+    v = np.zeros((kp * s_pad * 128,), np.float64)
+    r[pos] = np.asarray(A.col, np.int64) & 127
+    v[pos] = A.data
+    return DiagEll(
+        jnp.asarray(start),
+        jnp.asarray(r.reshape(kp, s_pad, 128)),
+        jnp.asarray(v.reshape(kp, s_pad, 128), dtype=dtype),
+        tg, nr, nc,
+    )
+
+
+def diag_spmv_1d(A: DiagEll, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x via slice-DMA + lane-shuffle FMA (see DiagEll)."""
+    from .ops.diag_spmv import diag_spmv as _kernel
+
+    nb = -(-A.ncols // 128)
+    pad_lo = A.tg * 128
+    total = (nb + 2 * A.tg) * 128
+    xp = jnp.zeros((total,), x.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(xp.dtype), (pad_lo,))
+    xb_pad = xp.reshape(-1, 128)
+    v = A.v if A.v.dtype == x.dtype else A.v.astype(x.dtype)
+    y = _kernel(A.start, xb_pad, A.r, v, A.tg)
+    return y.reshape(-1)[: A.nrows]
 
 
 @jax.tree_util.register_pytree_node_class

@@ -14,17 +14,22 @@ from gravo_mg_tpu.utils.meshgen import icosphere
 from gravo_mg_tpu.utils.neighbors import neighbors_from_faces
 
 
-def _setup(subdiv=4, lower_bound=120):
+def _setup(subdiv=4, lower_bound=120, **kw):
     V, F = icosphere(subdiv, bump=0.15)
     S = cotan_laplacian(V, F)
     M = mass_voronoi(V, F)
     neigh = neighbors_from_faces(F)
-    solver = MultigridSolver(V, neigh, M, lower_bound=lower_bound)
+    solver = MultigridSolver(V, neigh, M, lower_bound=lower_bound, **kw)
     return V, S, M, solver
 
 
 def test_min_quad_matches_direct():
-    V, S, M, solver = _setup()
+    # f64 compute to support the 5e-6 absolute tolerance — the reference
+    # subsystem is double-precision throughout (min_quad_with_fixed_mg.cpp);
+    # f32 smoother noise floors out around ~5e-6 on this problem.
+    import jax.numpy as jnp
+
+    V, S, M, solver = _setup(dtype=jnp.float64)
     n = V.shape[0]
     rng = np.random.default_rng(3)
     known = rng.choice(n, size=n // 20, replace=False)
@@ -66,7 +71,9 @@ def test_min_quad_default_tolerance_and_trace():
 
 
 def test_min_quad_multi_rhs():
-    V, S, M, solver = _setup(subdiv=3, lower_bound=80)
+    import jax.numpy as jnp
+
+    V, S, M, solver = _setup(subdiv=3, lower_bound=80, dtype=jnp.float64)
     n = V.shape[0]
     rng = np.random.default_rng(11)
     known = rng.choice(n, size=25, replace=False)

@@ -49,13 +49,19 @@ def test_chebyshev_uniform_band_damping():
     E = ell_from_scipy(A, dtype=jnp.float64)
     ones = jnp.ones(len(lams), dtype=jnp.float64)
     b = jnp.zeros_like(ones)
-    for degree in (2, 3, 4):
+    # Margin factors per degree: on the retuned ratio-12 band (r4) the
+    # degree-2 polynomial's edge is only ~25% better than Jacobi's
+    # (measured 0.585 vs 0.790); the advantage compounds with degree
+    # (the default smoother runs degree 4, where it is >2x).
+    for degree, factor in ((2, 0.8), (3, 0.65), (4, 0.5)):
         ec = chebyshev(E, ones, b, ones, degree, lmax / ratio, 1.1 * lmax)
         ej = jacobi(E, ones, b, ones, degree)
         worst_c = float(jnp.max(jnp.abs(ec)))
         worst_j = float(jnp.max(jnp.abs(ej)))
-        assert worst_c < 0.7 * worst_j, (degree, worst_c, worst_j)
-        assert worst_c < 0.35
+        assert worst_c < factor * worst_j, (degree, worst_c, worst_j)
+    # Absolute bound at the default degree (4): the Chebyshev minimax
+    # value on [lam/12, 1.1 lam] is 1/T4(1.164) ~= 0.206.
+    assert worst_c < 0.25, worst_c
 
 
 def test_lambda_max_estimate(sphere_mesh):
