@@ -141,7 +141,31 @@ def main():
     spmv_s = (_run(176) - _run(16)) / 160
     nnz = int((np.asarray(A0.v) != 0).sum())
     nnz_per_s = nnz / spmv_s
-    log(f"SpMV: {spmv_s*1e3:.3f} ms/apply, {nnz_per_s/1e9:.2f} Gnnz/s")
+    log(f"SpMV (solve operator, {type(A0).__name__}): "
+        f"{spmv_s*1e3:.3f} ms/apply, {nnz_per_s/1e9:.2f} Gnnz/s")
+
+    # Standalone DiagEll (slice-DMA kernel) on the same matrix — the
+    # fastest SpMV format in the library (not yet used inside the fused
+    # solve loop, see _plan_level).
+    from gravo_mg_tpu.sparse import diag_from_scipy
+
+    Ad = diag_from_scipy(lhs)
+    Ad_nnz = int((np.asarray(Ad.v) != 0).sum())
+
+    def _run_d(reps):
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            y = _chain(Ad, xv, reps)
+            jax.device_get(y[0:1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    _run_d(16), _run_d(176)
+    diag_s = (_run_d(176) - _run_d(16)) / 160
+    diag_nnz_per_s = Ad_nnz / diag_s
+    log(f"SpMV (DiagEll standalone): {diag_s*1e3:.3f} ms/apply, "
+        f"{diag_nnz_per_s/1e9:.2f} Gnnz/s")
 
     # Baseline: host direct solve (SuperLU), the reference's comparison.
     direct_s = None
@@ -171,6 +195,7 @@ def main():
             "hierarchy_cold_s": round(hier_cold, 3),
             "setup_s": round(setup_s, 3),
             "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 3),
+            "spmv_diag_gnnz_per_s": round(diag_nnz_per_s / 1e9, 3),
             "direct_s": round(direct_s, 3) if direct_s else None,
             "n_vertices": n,
             "dof": solver.hierarchy.dof,

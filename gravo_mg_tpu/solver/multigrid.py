@@ -414,9 +414,19 @@ class MultigridSolveContext:
         """
         from ..sparse import shuffle_plan_arrays
 
+        import os
+
         n = idx.shape[1]
         s_groups = -(-n // 128)
-        if s_groups >= 4096:
+        # DiagEll inside the SOLVE is opt-in for now: standalone it is
+        # 2x ShuffleEll (54 vs 25-30 Gnnz/s at 1M, bench.py), but inside
+        # the fused lax.while_loop cycle the same kernel regressed the
+        # per-cycle cost ~5x (0.409 s vs 0.076 s warm solve, BENCH r4
+        # runs) — an unresolved interaction between the kernel's manual
+        # DMA/semaphore pipeline and while-loop scheduling.  Flip
+        # GRAVO_MG_DIAG_LEVELS=1 to re-enable once diagnosed.
+        use_diag = os.environ.get("GRAVO_MG_DIAG_LEVELS") == "1"
+        if use_diag and s_groups >= 4096:
             dplan = diag_plan_arrays(idx, mask, idx.shape[1])
             splan = shuffle_plan_arrays(idx, mask, idx.shape[1])
             kp_d, kp_s = dplan[2].shape[0], splan[0].shape[0]
@@ -450,7 +460,14 @@ class MultigridSolveContext:
         k, Ucsr = k_and_Ucsr
         U_sh = shuffle_from_scipy(Ucsr, dtype=self.dtype)
         UT_sh = shuffle_from_scipy(Ucsr.T.tocsr(), dtype=self.dtype)
-        cap = max(8 * Ucsr.nnz, 1 << 24)
+        # 24x, much looser than the level cap: the finest restriction
+        # U^T legitimately pads ~17x at 1M (each coarse group's 128 rows
+        # source from hundreds of fine blocks: kp 400 over avg 24
+        # nnz/row) and its shuffle form is still ~6x faster per apply
+        # than the segment-sum fallback (r4: flipping L0's transfer to
+        # Prolongation regressed the warm 1M solve 0.076 -> 0.43 s).
+        # The sig06-on-raster pathology this guards against pads >100x.
+        cap = max(24 * Ucsr.nnz, 1 << 24)
         if (U_sh.v.size > cap) or (UT_sh.v.size > cap):
             P = self.hierarchy.levels[k].U
             # Device copy: the hierarchy keeps host-numpy leaves (setup

@@ -305,4 +305,6 @@ def test_update_lhs_value_only_reuse(medium_mesh):
     solver._contexts.clear()
     solver._context(lhs2)
     t_fresh = _time.perf_counter() - t0
-    assert t_update < 1.5 * max(t_fresh, t_setup), (t_update, t_fresh)
+    # 2x: pure sanity — on the 2-core host a concurrent process can skew
+    # either side by ~50%.
+    assert t_update < 2.0 * max(t_fresh, t_setup), (t_update, t_fresh)
