@@ -43,8 +43,14 @@ def main():
     from gravo_mg_tpu.utils.laplacian import cotan_laplacian, mass_barycentric
     from gravo_mg_tpu.utils.meshgen import torus_mesh
     from gravo_mg_tpu.utils.neighbors import neighbors_from_faces
+    from gravo_mg_tpu.utils.warmup import wait_d2h, warm_d2h_async
 
+    t_start = time.perf_counter()
     log(f"devices: {jax.devices()}")
+    # One-time relay d2h path init (60-900 s through the tunnel, measured;
+    # sub-second on directly-attached TPUs) — start paying it NOW on a
+    # daemon thread so it overlaps the whole host-side pipeline below.
+    warm_d2h_async()
     t0 = time.perf_counter()
     V, F = torus_mesh(args.nu, args.nv)
     n = V.shape[0]
@@ -59,44 +65,39 @@ def main():
     rhs = (M @ rng.standard_normal((n, 1)))[:, 0]
     log(f"operators: nnz={lhs.nnz} ({time.perf_counter()-t0:.1f}s)")
 
-    # Hierarchy (cold incl. jit, then warm rebuild for steady-state number).
-    # NOTE on warm occasionally reading SLOWER than cold (flagged in
-    # VERDICT r2/r3): experiments/hierarchy_warm.py shows three
-    # consecutive builds on a quiet host land within ~10% (1.65/1.78/1.82s
-    # at 1M) — the historical 20-60% gaps reproduce only when another
-    # process shares the 2 host cores (the build is OpenMP + memory-bound
-    # numpy; a competing thread doubles its critical phases).  Scheduler
-    # noise, not an algorithmic effect.
+    # Hierarchy build (cold incl. jit; a warm rebuild runs AFTER the
+    # solves for the steady-state number).
     t0 = time.perf_counter()
     solver = MultigridSolver(V, neigh, M, lower_bound=1000)
     hier_cold = time.perf_counter() - t0
     log(f"hierarchy cold: {hier_cold:.2f}s dof={solver.hierarchy.dof}")
-    t0 = time.perf_counter()
-    solver_w = MultigridSolver(V, neigh, M, lower_bound=1000)
-    hier_warm = time.perf_counter() - t0
-    log(f"hierarchy warm: {hier_warm:.2f}s")
-    solver = solver_w
 
-    # Setup (plans + reduction) once; timed separately from cycles.
+    # Setup (plans + reduction) once; timed separately from cycles.  The
+    # context kicks off the fused/traced program compiles on background
+    # threads (remote XLA compile overlaps the host value fills).
     t0 = time.perf_counter()
     ctx = solver._context(lhs)
     setup_s = time.perf_counter() - t0
     log(f"solve setup (plans+reduction): {setup_s:.2f}s")
-    for key in (
-        "setup_u_host", "setup_chain", "setup_patterns",
-        "setup_shuffle_layout", "setup_transfers", "setup_values",
-        "setup_spectral", "setup_coarse_factor",
-    ):
-        if key in ctx.timing:
-            log(f"  {key:<22s} {ctx.timing[key]:8.0f} ms")
+    setup_sum = 0.0
+    for key in sorted(k for k in ctx.timing if k.startswith("setup_")):
+        setup_sum += ctx.timing[key]
+        log(f"  {key:<22s} {ctx.timing[key]:8.0f} ms")
+    log(f"  [breakdown sum]        {setup_sum:8.0f} ms "
+        f"({100 * setup_sum / max(setup_s * 1000, 1e-9):.0f}% of wall)")
 
-    # Solve twice: first includes fused-loop compile, second is warm.
-    # ``cycles`` (the fused iteration loop, stamped on device-side scalar
-    # sync) is the headline value — it is what the reference times in its
-    # own solve loop (multigrid_solver.cpp:1279-1485, RHS already resident).
-    # The wall time additionally pays ~0.5 s of 4 MB rhs-upload + solution
-    # download through the relay tunnel (sub-ms on directly-attached TPUs);
-    # it is reported as solve_wall_s.
+    # First solve.  One-time latencies are reported separately from the
+    # iteration work, each measured honestly:
+    #   compile_wait  — residual wait for the background fused-loop
+    #                   compile (started at context creation);
+    #   d2h_init      — the relay's one-time d2h path init (started at
+    #                   solver construction; sub-ms on attached TPUs);
+    #   cycles        — the device iteration loop, stamped on scalar sync
+    #                   (what the reference times in its own solve loop,
+    #                   multigrid_solver.cpp:1279-1485).
+    d2h = wait_d2h()
+    log(f"d2h path init: {d2h.get('d2h_init_s', 0):.2f}s "
+        f"(waited {d2h.get('d2h_wait_s', 0):.2f}s after setup)")
     for label in ("cold", "warm"):
         t0 = time.perf_counter()
         x, iters, res, _ = ctx.solve(
@@ -105,10 +106,35 @@ def main():
         wall_s = time.perf_counter() - t0
         solve_s = ctx.timing["cycles"] / 1e3
         log(f"solve {label}: cycles {solve_s:.3f}s (wall {wall_s:.3f}s, "
-            f"upload {ctx.timing['solve_upload']:.0f}ms) "
+            f"upload {ctx.timing['solve_upload']:.0f}ms, compile_wait "
+            f"{ctx.timing.get('compile_wait', 0):.0f}ms) "
             f"iters={iters} res={res:.2e}")
+        if label == "cold":
+            first_solution_wall = time.perf_counter() - t_start
+            cold_cycles_s = solve_s
+            compile_wait_s = ctx.timing.get("compile_wait", 0) / 1e3
+            ctx.timing.pop("compile_wait", None)
+            log(f"time to first solution (mesh+ops+hierarchy+setup+compile"
+                f"+solve): {first_solution_wall:.2f}s")
     true_res = ctx.residual(rhs, x, criteria=2)
     log(f"host-verified residual: {true_res:.3e}")
+
+    # Honest convergence trace artifact: one host-stepped (traced-mode)
+    # solve whose per-cycle (elapsed_ms, residual) stamps come from real
+    # host clocks (the fused loop's timestamps are synthetic).
+    x_t, iters_t, res_t, trace = ctx.solve(
+        rhs, tol=args.tol, criteria=2, max_iter=100, mode="traced"
+    )
+    log(f"solve traced: cycles {ctx.timing['cycles']/1e3:.3f}s "
+        f"iters={iters_t} res={res_t:.2e}")
+    convergence_trace = [(round(t, 2), float(r)) for t, r in trace]
+
+    # Warm hierarchy rebuild (steady-state build cost).
+    t0 = time.perf_counter()
+    solver_w = MultigridSolver(V, neigh, M, lower_bound=1000)
+    hier_warm = time.perf_counter() - t0
+    log(f"hierarchy warm: {hier_warm:.2f}s")
+    del solver_w
 
     # Smoother SpMV throughput (nnz/s) at the finest level, measured the
     # way the solver actually runs it: a dependent chain INSIDE one jitted
@@ -128,6 +154,12 @@ def main():
             v = spmv(A, 0.2 * v)
         return v
 
+    # Rep counts scale with problem size: at 16k rows an apply is ~10 us,
+    # so the 1M-tuned (16, 176) pair differences ~1.6 ms of compute
+    # against ~10 ms of relay RTT jitter and can go negative; small
+    # problems need ~10x the reps for a stable difference.
+    r_lo, r_hi = (16, 176) if n >= 262144 else (160, 1760)
+
     def _run(reps):
         best = float("inf")
         for _ in range(5):
@@ -137,8 +169,8 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    _run(16), _run(176)  # compile
-    spmv_s = (_run(176) - _run(16)) / 160
+    _run(r_lo), _run(r_hi)  # compile
+    spmv_s = max((_run(r_hi) - _run(r_lo)) / (r_hi - r_lo), 1e-9)
     nnz = int((np.asarray(A0.v) != 0).sum())
     nnz_per_s = nnz / spmv_s
     log(f"SpMV (solve operator, {type(A0).__name__}): "
@@ -161,8 +193,8 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    _run_d(16), _run_d(176)
-    diag_s = (_run_d(176) - _run_d(16)) / 160
+    _run_d(r_lo), _run_d(r_hi)
+    diag_s = max((_run_d(r_hi) - _run_d(r_lo)) / (r_hi - r_lo), 1e-9)
     diag_nnz_per_s = Ad_nnz / diag_s
     log(f"SpMV (DiagEll standalone): {diag_s*1e3:.3f} ms/apply, "
         f"{diag_nnz_per_s/1e9:.2f} Gnnz/s")
@@ -182,6 +214,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"direct baseline failed: {e}")
 
+    # Timing bases (ADVICE r4): ``value``/``vs_baseline`` compare the
+    # device iteration loop ("cycles", scalar-sync stamped — what the
+    # reference times in its own solve loop) against SuperLU's full host
+    # wall; ``vs_baseline_wall`` compares the warm solve WALL (incl. rhs
+    # upload + relay round trips) against the same — both bases shipped
+    # so JSON consumers never mix them unknowingly.
     result = {
         "metric": f"poisson_{n//1000}k_solve_to_{args.tol:g}",
         "value": round(solve_s, 4),
@@ -190,7 +228,15 @@ def main():
         "extra": {
             "iters": iters,
             "solve_wall_s": round(wall_s, 4),
+            "vs_baseline_wall": (
+                round(direct_s / wall_s, 2) if direct_s else 1.0
+            ),
+            "timing_basis": "value=device cycles; see vs_baseline_wall",
             "residual": float(true_res),
+            "first_solution_wall_s": round(first_solution_wall, 2),
+            "cold_cycles_s": round(cold_cycles_s, 3),
+            "compile_wait_s": round(compile_wait_s, 2),
+            "d2h_init_s": round(d2h.get("d2h_init_s", 0.0), 2),
             "hierarchy_warm_s": round(hier_warm, 3),
             "hierarchy_cold_s": round(hier_cold, 3),
             "setup_s": round(setup_s, 3),
@@ -199,6 +245,7 @@ def main():
             "direct_s": round(direct_s, 3) if direct_s else None,
             "n_vertices": n,
             "dof": solver.hierarchy.dof,
+            "convergence_traced_ms_res": convergence_trace[:20],
         },
     }
     print(json.dumps(result), flush=True)

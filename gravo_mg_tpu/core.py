@@ -60,6 +60,13 @@ class MultigridSolver:
         differ, so the tuned defaults target the same convergence
         contract (tolerance in <= cycles), not sweep-count parity.
         """
+        # Pay the backend's one-time d2h path init on a daemon thread,
+        # overlapped with the hierarchy build + solve setup (60-900 s
+        # through a relay tunnel, sub-second on attached TPUs; no-op on
+        # CPU).  See utils/warmup.py.
+        from .utils.warmup import warm_d2h_async
+
+        warm_d2h_async()
         self.pos = np.asarray(pos, dtype=np.float64)
         self.neigh = np.asarray(neigh, dtype=np.int32)
         if not sp.issparse(mass):
@@ -214,6 +221,15 @@ class MultigridSolver:
             ctx = MultigridSolveContext(
                 self.hierarchy, lhs, self.mass, cfg, dtype=self.dtype
             )
+            # Start compiling both solve modes for this solver's stopping
+            # configuration in the background (no-op on CPU) — by the
+            # time solve() dispatches, the remote compile has been
+            # running since context creation.
+            for mode in ("fused", "traced"):
+                ctx.prepare_async(
+                    criteria=self.stopping_criteria,
+                    max_iter=self.max_iter, mode=mode,
+                )
             while len(self._contexts) >= self._CONTEXT_LRU:
                 self._contexts.pop(next(iter(self._contexts)))
         else:

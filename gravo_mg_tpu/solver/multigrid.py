@@ -399,6 +399,7 @@ class MultigridSolveContext:
 
         # --- values: fill layouts, spectral bounds, coarse factor, upload -
         self._reduce_and_upload(chain)
+        self._prepare_threads: dict = {}
 
     def _plan_level(self, idx, mask):
         """Per-level sparse-layout choice (tagged plan tuple).
@@ -541,7 +542,12 @@ class MultigridSolveContext:
             jnp.asarray(Ainv, dtype=self.dtype),
             jnp.asarray(Ad, dtype=self.dtype),
         )
-        jax.block_until_ready(self.coarse_op)
+        # NOTE: no block_until_ready here — uploads complete on the
+        # backend's transfer streams while the host finishes setup and the
+        # background program compile runs (prepare_async).  Blocking here
+        # used to serialize setup behind the relay's one-time d2h path
+        # init (utils/warmup.py), charging a ~200 s infra stall to
+        # setup_coarse_factor.
         self.timing["setup_values"] = t_values * 1000
         self.timing["setup_spectral"] = t_spec * 1000
         self.timing["setup_coarse_factor"] = (time.perf_counter() - t1) * 1000
@@ -613,6 +619,76 @@ class MultigridSolveContext:
         self.chain_csr = chain
         self.timing["plan_build"] = (time.perf_counter() - t0) * 1000
         self._reduce_and_upload(chain)
+
+    # ---- program preparation (async compile) --------------------------------
+
+    def prepare_async(self, *, cols: Optional[int] = None, criteria: int = 2,
+                      max_iter: int = 100, mode: str = "fused"):
+        """Compile the solve program for one signature on a daemon thread.
+
+        Through a relay-attached TPU the first compile of the fused loop
+        is the second-largest one-time cost after the d2h path init (see
+        utils/warmup.py); starting it here overlaps the remote XLA compile
+        with whatever host work follows context setup (IO, baselines,
+        other systems).  ``solve()`` joins a matching in-flight
+        preparation before dispatch, so work is never duplicated — the
+        per-call jit then resolves via the persistent compilation cache.
+
+        ``cols=None`` prepares the 1-D rhs signature, an int the (n, cols)
+        one.  No-op on CPU backends or under GRAVO_MG_NO_WARMUP=1.
+        """
+        from ..utils.warmup import _enabled
+
+        if not _enabled():
+            return None
+        key = (mode, cols, criteria, max_iter)
+        if key in self._prepare_threads:
+            return self._prepare_threads[key]
+        import threading
+
+        n = self.levels[0].A.shape[0]
+        shape = (n,) if cols is None else (n, cols)
+        b_s = jax.ShapeDtypeStruct(shape, self.dtype)
+        den_s = jax.ShapeDtypeStruct((1 if cols is None else cols,),
+                                     self.dtype)
+        tol_s = jax.ShapeDtypeStruct((), self.dtype)
+        cfg = self.cfg
+
+        def _work():
+            try:
+                if mode == "fused":
+                    fused_solve.lower(
+                        cfg, self.levels, self.coarse_op, self.M,
+                        self.Minv_diag, b_s, b_s, den_s, tol_s,
+                        criteria, max_iter,
+                    ).compile()
+                else:
+                    cycle_step.lower(
+                        cfg, self.levels, self.coarse_op, b_s, b_s
+                    ).compile()
+                    residual_numerator.lower(
+                        self.levels[0].A, self.M, self.Minv_diag, b_s, b_s,
+                        criteria,
+                    ).compile()
+                residual_denominator.lower(
+                    self.M, self.Minv_diag, b_s, criteria
+                ).compile()
+            except Exception as e:  # noqa: BLE001 — solve() recompiles/raises
+                self.timing[f"prepare_error_{mode}"] = repr(e)
+
+        t = threading.Thread(target=_work, daemon=True,
+                             name=f"gravo-prepare-{mode}")
+        t.start()
+        self._prepare_threads[key] = t
+        return t
+
+    def _join_prepare(self, mode: str, cols: Optional[int], criteria: int,
+                      max_iter: int):
+        t = self._prepare_threads.get((mode, cols, criteria, max_iter))
+        if t is not None and t.is_alive():
+            t0 = time.perf_counter()
+            t.join()
+            self.timing["compile_wait"] = (time.perf_counter() - t0) * 1000
 
     # ---- solving -----------------------------------------------------------
 
@@ -694,6 +770,8 @@ class MultigridSolveContext:
         # process memory there).
         jax.block_until_ready((b, den, x))
         self.timing["solve_upload"] = (time.perf_counter() - t_up) * 1000
+        cols = None if squeeze else rhs2.shape[1]
+        self._join_prepare(mode, cols, criteria, max_iter)
         if mode == "fused":
             t0 = time.perf_counter()
             x, iters, res, trace = fused_solve(
