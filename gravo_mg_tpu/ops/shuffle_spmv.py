@@ -68,13 +68,18 @@ def _kernel(z_ref, r_ref, v_ref, o_ref):
 
     acc = o_ref[:]
     for k in range(_KC):
-        g = _lane_gather(z_ref[k], r_ref[k])
+        r = r_ref[k]
+        if r.dtype != jnp.int32:
+            # r streams from HBM as int8 (4x less index traffic) and is
+            # widened in-register for tpu.dynamic_gather.
+            r = r.astype(jnp.int32)
+        g = _lane_gather(z_ref[k], r)
         acc = acc + v_ref[k] * g
     o_ref[:] = acc
 
 
 def _lane_shuffle_fma_xla(z, r, v):
-    g = jnp.take_along_axis(z, r, axis=2)
+    g = jnp.take_along_axis(z, r.astype(jnp.int32), axis=2)
     return jnp.sum(v * g, axis=0)
 
 

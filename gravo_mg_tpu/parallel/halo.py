@@ -86,10 +86,10 @@ class DistOp:
     """
 
     q: jnp.ndarray          # (D, KP, S) int32 — interior slots
-    r: jnp.ndarray          # (D, KP, S, 128) int32
+    r: jnp.ndarray          # (D, KP, S, 128) int8 — lanes 0..127
     v: jnp.ndarray          # (D, KP, S, 128)
     qh: jnp.ndarray         # (D, KPH, S) int32 — halo slots (may be empty)
-    rh: jnp.ndarray         # (D, KPH, S, 128) int32
+    rh: jnp.ndarray         # (D, KPH, S, 128) int8
     vh: jnp.ndarray         # (D, KPH, S, 128)
     steps: Tuple            # ((shift, send_idx, recv_pos), ...)
     rows_local: int         # output length per device
@@ -162,15 +162,15 @@ def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype,
 
     S = s_uniform if s_uniform is not None else _round_up(max(-(-rl // 128), 1), 8)
     q_all = np.zeros((D, kp_max, S), np.int32)
-    r_all = np.zeros((D, kp_max, S, 128), np.int32)
+    r_all = np.zeros((D, kp_max, S, 128), np.int8)   # lanes 0..127
     v_all = np.zeros((D, kp_max, S, 128), np.float64)
     qh_all = np.zeros((D, kph_max, S), np.int32)
-    rh_all = np.zeros((D, kph_max, S, 128), np.int32)
+    rh_all = np.zeros((D, kph_max, S, 128), np.int8)
     vh_all = np.zeros((D, kph_max, S, 128), np.float64)
     for d, (kp, q, pos, lc, ld, kph, qh, posh, hmap, hd) in enumerate(layouts):
         if len(pos):
             q_all[d, :kp] = q
-            rf = np.zeros((kp * S * 128,), np.int32)
+            rf = np.zeros((kp * S * 128,), np.int8)
             vf = np.zeros((kp * S * 128,), np.float64)
             rf[pos] = lc & 127
             vf[pos] = ld
@@ -178,7 +178,7 @@ def _build_dist_op(A_csr, D: int, rl: int, cl: int, dtype,
             v_all[d, :kp] = vf.reshape(kp, S, 128)
         if kph and len(posh):
             qh_all[d, :kph] = qh
-            rf = np.zeros((kph * S * 128,), np.int32)
+            rf = np.zeros((kph * S * 128,), np.int8)
             vf = np.zeros((kph * S * 128,), np.float64)
             rf[posh] = hmap & 127
             vf[posh] = hd

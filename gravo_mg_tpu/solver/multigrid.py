@@ -512,7 +512,7 @@ class MultigridSolveContext:
                 v = np.append(A.data, 0.0)[self._csr_src[k]]
                 A_shuf = DiagEll(
                     jnp.asarray(start),
-                    jnp.asarray(r.astype(np.int8)),  # lanes 0..127
+                    jnp.asarray(r),  # int8 lanes 0..127 (diag_plan_arrays)
                     jnp.asarray(v, dtype=self.dtype),
                     tg, A.shape[0], A.shape[1],
                 )

@@ -148,7 +148,7 @@ class ShuffleEll:
     """
 
     q: jnp.ndarray   # (KP, S) int32 — source block per (slot, row group)
-    r: jnp.ndarray   # (KP, S, 128) int32 — lane within block
+    r: jnp.ndarray   # (KP, S, 128) int8 — lane within block (0..127)
     v: jnp.ndarray   # (KP, S, 128) — values (0 = padding)
     nrows: int
     ncols: int
@@ -268,7 +268,9 @@ def shuffle_from_scipy(A, dtype=jnp.float32) -> ShuffleEll:
     A.sum_duplicates()
     nr, nc = A.shape
     kp, s, q, pos = _shuffle_layout(A.row, A.col, nr, nc)
-    r = np.zeros((kp * s * 128,), np.int32)
+    # Lanes 0..127 fit int8 — 4x less index traffic than int32 on every
+    # SpMV/transfer stream and upload (the kernel converts in-register).
+    r = np.zeros((kp * s * 128,), np.int8)
     v = np.zeros((kp * s * 128,), np.float64)
     r[pos] = np.asarray(A.col, np.int64) & 127
     v[pos] = A.data
@@ -471,7 +473,7 @@ def diag_plan_arrays(idx: np.ndarray, mask: np.ndarray, ncols: int):
     ]
     cols = idx.reshape(-1)[mask.reshape(-1)].astype(np.int64)
     kp, s_pad, tg, start, pos = _diag_layout(rows, cols, n, ncols)
-    r = np.zeros((kp * s_pad * 128,), np.int32)
+    r = np.zeros((kp * s_pad * 128,), np.int8)  # lanes 0..127
     src = np.full((kp * s_pad * 128,), k * n, np.int32)
     r[pos] = cols & 127
     src[pos] = ell_pos
@@ -526,7 +528,7 @@ class ShufflePlan:
     """
 
     q: jnp.ndarray     # (KP, S) int32
-    r: jnp.ndarray     # (KP, S, 128) int32
+    r: jnp.ndarray     # (KP, S, 128) int8 — lane within block
     src: jnp.ndarray   # (KP, S, 128) int32
     nrows: int
     ncols: int
@@ -564,7 +566,7 @@ def shuffle_plan_arrays(idx: np.ndarray, mask: np.ndarray, ncols: int):
     ]
     cols = idx.reshape(-1)[mask.reshape(-1)].astype(np.int64)
     kp, s, q, pos = _shuffle_layout(rows, cols, n, ncols)
-    r = np.zeros((kp * s * 128,), np.int32)
+    r = np.zeros((kp * s * 128,), np.int8)  # lanes 0..127
     src = np.full((kp * s * 128,), k * n, np.int32)
     r[pos] = cols & 127
     src[pos] = ell_pos
