@@ -46,7 +46,8 @@ def main():
     from gravo_mg_tpu.utils.warmup import wait_d2h, warm_d2h_async
 
     t_start = time.perf_counter()
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()} "
+        f"(backend init {time.perf_counter()-t_start:.1f}s)")
     # One-time relay d2h path init (60-900 s through the tunnel, measured;
     # sub-second on directly-attached TPUs) — start paying it NOW on a
     # daemon thread so it overlaps the whole host-side pipeline below.
@@ -129,11 +130,23 @@ def main():
         f"iters={iters_t} res={res_t:.2e}")
     convergence_trace = [(round(t, 2), float(r)) for t, r in trace]
 
-    # Warm hierarchy rebuild (steady-state build cost).
+    # Warm hierarchy rebuild (steady-state build cost), with a per-phase
+    # cold-vs-warm delta so any regression names its phase (the historical
+    # "warm slower than cold" anomaly, VERDICT r2-r4).
     t0 = time.perf_counter()
     solver_w = MultigridSolver(V, neigh, M, lower_bound=1000)
     hier_warm = time.perf_counter() - t0
     log(f"hierarchy warm: {hier_warm:.2f}s")
+    tc, tw = solver.hierarchy.timing, solver_w.hierarchy.timing
+    phases = [k for k, v in tc.items()
+              if isinstance(v, float) and k not in
+              ("levels", "n_vertices", "hierarchy")]
+    sum_c = sum(tc[k] for k in phases)
+    sum_w = sum(tw[k] for k in phases)
+    for k in phases:
+        log(f"  {k:<22s} cold {tc[k]*1e3:7.0f} ms  warm {tw[k]*1e3:7.0f} ms")
+    log(f"  {'[untimed remainder]':<22s} cold {hier_cold*1e3-sum_c*1e3:7.0f} ms"
+        f"  warm {hier_warm*1e3-sum_w*1e3:7.0f} ms")
     del solver_w
 
     # Smoother SpMV throughput (nnz/s) at the finest level, measured the
@@ -169,35 +182,42 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    _run(r_lo), _run(r_hi)  # compile
-    spmv_s = max((_run(r_hi) - _run(r_lo)) / (r_hi - r_lo), 1e-9)
-    nnz = int((np.asarray(A0.v) != 0).sum())
-    nnz_per_s = nnz / spmv_s
+    def _measure(A):
+        def _runa(reps):
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                y = _chain(A, xv, reps)
+                jax.device_get(y[0:1])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        _runa(r_lo), _runa(r_hi)  # compile
+        s = max((_runa(r_hi) - _runa(r_lo)) / (r_hi - r_lo), 1e-9)
+        a_nnz = int((np.asarray(A.v) != 0).sum())
+        return s, a_nnz / s
+
+    # Both large-operator formats on the solve matrix: whichever the
+    # planner picked for the solve (DiagEll at >=512k rows) plus the
+    # alternate, so the JSON always carries a diag AND a shuffle number.
+    from gravo_mg_tpu.sparse import DiagEll, diag_from_scipy, shuffle_from_scipy
+
+    if isinstance(A0, DiagEll):
+        A_diag, A_shuf = A0, shuffle_from_scipy(lhs)
+    else:
+        A_diag, A_shuf = diag_from_scipy(lhs), A0
+    spmv_s, nnz_per_s = _measure(A0)
     log(f"SpMV (solve operator, {type(A0).__name__}): "
         f"{spmv_s*1e3:.3f} ms/apply, {nnz_per_s/1e9:.2f} Gnnz/s")
-
-    # Standalone DiagEll (slice-DMA kernel) on the same matrix — the
-    # fastest SpMV format in the library (not yet used inside the fused
-    # solve loop, see _plan_level).
-    from gravo_mg_tpu.sparse import diag_from_scipy
-
-    Ad = diag_from_scipy(lhs)
-    Ad_nnz = int((np.asarray(Ad.v) != 0).sum())
-
-    def _run_d(reps):
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            y = _chain(Ad, xv, reps)
-            jax.device_get(y[0:1])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    _run_d(r_lo), _run_d(r_hi)
-    diag_s = max((_run_d(r_hi) - _run_d(r_lo)) / (r_hi - r_lo), 1e-9)
-    diag_nnz_per_s = Ad_nnz / diag_s
-    log(f"SpMV (DiagEll standalone): {diag_s*1e3:.3f} ms/apply, "
-        f"{diag_nnz_per_s/1e9:.2f} Gnnz/s")
+    diag_s, diag_nnz_per_s = (
+        (spmv_s, nnz_per_s) if A_diag is A0 else _measure(A_diag)
+    )
+    shuf_s, shuf_nnz_per_s = (
+        (spmv_s, nnz_per_s) if A_shuf is A0 else _measure(A_shuf)
+    )
+    log(f"SpMV (DiagEll): {diag_s*1e3:.3f} ms/apply, "
+        f"{diag_nnz_per_s/1e9:.2f} Gnnz/s; (ShuffleEll): "
+        f"{shuf_s*1e3:.3f} ms/apply, {shuf_nnz_per_s/1e9:.2f} Gnnz/s")
 
     # Baseline: host direct solve (SuperLU), the reference's comparison.
     direct_s = None
@@ -242,6 +262,7 @@ def main():
             "setup_s": round(setup_s, 3),
             "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 3),
             "spmv_diag_gnnz_per_s": round(diag_nnz_per_s / 1e9, 3),
+            "spmv_shuffle_gnnz_per_s": round(shuf_nnz_per_s / 1e9, 3),
             "direct_s": round(direct_s, 3) if direct_s else None,
             "n_vertices": n,
             "dof": solver.hierarchy.dof,

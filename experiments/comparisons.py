@@ -362,9 +362,11 @@ if __name__ == "__main__":
 
     out = pathlib.Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    import jax as _jax
+
     details = args.label + "\n--\nSettings:\n--\n" + "".join(
         f"{k}: {v}\n" for k, v in vars(args).items()
-    )
+    ) + f"solver_device: {_jax.devices()[0]}\n"
     (out / f"settings_{args.label}_tau{args.tau}.txt").write_text(details)
     print(details + "---")
 

@@ -140,6 +140,16 @@ def diag_spmv(start_tbl: jnp.ndarray, xb_pad: jnp.ndarray, r: jnp.ndarray,
             or tg != 512):
         xb = xb_pad[tg:-tg]
         return _diag_spmv_xla(start_tbl, xb, r, v, tg)
+    return _diag_spmv_pallas(start_tbl, xb_pad, r, v, tg)
+
+
+def _diag_spmv_pallas(start_tbl: jnp.ndarray, xb_pad: jnp.ndarray,
+                      r: jnp.ndarray, v: jnp.ndarray, tg: int):
+    """The Pallas kernel path, gate-free (tests drive it under
+    pltpu.force_tpu_interpret_mode on CPU; diag_spmv applies the
+    tile/dtype gates before delegating here)."""
+    kp, s, _ = r.shape
+    n_tiles = start_tbl.shape[0]
 
     def _i32(a):
         return jax.lax.convert_element_type(a, jnp.int32)

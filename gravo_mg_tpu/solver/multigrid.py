@@ -329,15 +329,19 @@ class MultigridSolveContext:
         self.dtype = dtype
         self.timing: dict = {}
 
+        t0 = time.perf_counter()
         self.lhs_csr = lhs_csr.tocsr()
         self._analyze_lhs()
         self.cfg = dataclasses.replace(
             self.cfg, coarse_null_project=self.near_singular
         )
+        self.timing["setup_analyze"] = (time.perf_counter() - t0) * 1000
+        t0 = time.perf_counter()
         self.mass_csr = mass_csr.tocsr()
         self.M = shuffle_from_scipy(mass_csr, dtype=dtype)
         minv = 1.0 / np.maximum(np.asarray(mass_csr.diagonal()), 1e-30)
         self.Minv_diag = jnp.asarray(minv, dtype=dtype)
+        self.timing["setup_mass"] = (time.perf_counter() - t0) * 1000
 
         # --- pattern discovery: f64 scipy Galerkin chain ------------------
         # Sub-phase timings land in self.timing as setup_* keys (VERDICT r2
@@ -383,6 +387,7 @@ class MultigridSolveContext:
         # intermediate.  ELL flat index = slot * N + row; csr position =
         # indptr[row] + slot (the pattern was built from the same sorted
         # csr).  Sentinel K*N (padding) maps to the appended zero at nnz.
+        t0 = time.perf_counter()
         self._csr_src = []
         for k2, plan in enumerate(self._shuf_np):
             if plan[0] == "ell":
@@ -391,11 +396,23 @@ class MultigridSolveContext:
             src = plan[4] if plan[0] == "diag" else plan[3]
             indptr = chain[k2].indptr
             n2 = chain[k2].shape[0]
-            src64 = src.astype(np.int64).ravel()
-            pad = src64 == (self._ell_k[k2] * n2)
-            csr_pos = indptr[src64 % n2] + src64 // n2
-            csr_pos[pad] = chain[k2].nnz
+            # int32 fast path (ELL flat indices < 2^31 up to ~100M-row
+            # levels): halves the memory traffic of this pass and keeps
+            # the div/mod in the fast integer unit.
+            if self._ell_k[k2] * n2 < 2**31 and chain[k2].nnz < 2**31:
+                flat = src.ravel().astype(np.int32, copy=False)
+                pad = flat == np.int32(self._ell_k[k2] * n2)
+                slot, row = np.divmod(flat, np.int32(n2))
+                csr_pos = indptr.astype(np.int32)[row] + slot
+                csr_pos[pad] = np.int32(chain[k2].nnz)
+            else:
+                flat = src.astype(np.int64).ravel()
+                pad = flat == (self._ell_k[k2] * n2)
+                slot, row = np.divmod(flat, np.int64(n2))
+                csr_pos = indptr[row] + slot
+                csr_pos[pad] = chain[k2].nnz
             self._csr_src.append(csr_pos.reshape(src.shape))
+        self.timing["setup_csr_src"] = (time.perf_counter() - t0) * 1000
 
         # --- values: fill layouts, spectral bounds, coarse factor, upload -
         self._reduce_and_upload(chain)
@@ -408,10 +425,11 @@ class MultigridSolveContext:
         diagonal-run DiagEll layout: its in-kernel slice DMA removes the
         gathered-z HBM round trip and measured 49 vs 25 Gnnz/s against
         ShuffleEll at 1M rows.  It is only built when its slot padding
-        stays within 2x of ShuffleEll's (per-slot traffic is 12 B vs
-        16 B + gather, so beyond ~2x padding it loses — e.g. matrices
-        whose index ordering has no block-diagonal locality).  Everything
-        else — small levels, diag-hostile patterns — uses ShuffleEll.
+        stays within 2x of ShuffleEll's (per-slot-lane traffic ~9 B vs
+        ~17 B incl. the z round trip, so beyond ~2x padding it loses —
+        e.g. matrices whose index ordering has no block-diagonal
+        locality).  Everything else — small levels, diag-hostile
+        patterns — uses ShuffleEll.
         """
         from ..sparse import shuffle_plan_arrays
 
@@ -419,23 +437,46 @@ class MultigridSolveContext:
 
         n = idx.shape[1]
         s_groups = -(-n // 128)
-        # DiagEll inside the SOLVE is opt-in for now: standalone it is
-        # 2x ShuffleEll (54 vs 25-30 Gnnz/s at 1M, bench.py), but inside
-        # the fused lax.while_loop cycle the same kernel regressed the
-        # per-cycle cost ~5x (0.409 s vs 0.076 s warm solve, BENCH r4
-        # runs) — an unresolved interaction between the kernel's manual
-        # DMA/semaphore pipeline and while-loop scheduling.  Flip
-        # GRAVO_MG_DIAG_LEVELS=1 to re-enable once diagnosed.
-        use_diag = os.environ.get("GRAVO_MG_DIAG_LEVELS") == "1"
-        if use_diag and s_groups >= 4096:
+        # DiagEll is the DEFAULT for large levels since round 5: the r4
+        # in-loop "5x regression" that demoted it was confounded by the
+        # finest transfer being wrongly on the segment-sum fallback
+        # (commit 79a5e92); the redone A/B against the fixed baseline
+        # (experiments/diag_ab.py, 1M Poisson) measures the diag loop at
+        # 11.8 ms/cycle vs 14.0 for ShuffleEll — 1.18x faster end-to-end
+        # (warm solve 0.0592 s vs 0.0698 s).  GRAVO_MG_DIAG_LEVELS=0
+        # opts out.
+        use_diag = os.environ.get("GRAVO_MG_DIAG_LEVELS", "1") != "0"
+        # Size gate override for tests/experiments (CPU solves exercise
+        # the DiagEll in-loop plumbing through the XLA fallback at small
+        # sizes by lowering this).
+        min_groups = int(os.environ.get("GRAVO_MG_DIAG_MIN_GROUPS", "4096"))
+        plan = None
+        if use_diag and s_groups >= min_groups:
             dplan = diag_plan_arrays(idx, mask, idx.shape[1])
-            splan = shuffle_plan_arrays(idx, mask, idx.shape[1])
-            kp_d, kp_s = dplan[2].shape[0], splan[0].shape[0]
-            if dplan[1] == 512 and 12 * kp_d <= 2 * 16 * kp_s:
+            kp_d = dplan[2].shape[0]
+            # tg==512 is the only tile family the Pallas kernel accepts
+            # (smaller tiles hang Mosaic); GRAVO_MG_DIAG_ANY_TG=1 lets
+            # CPU tests run the DiagEll in-loop plumbing through the XLA
+            # fallback at small sizes.
+            tg_ok = (dplan[1] == 512
+                     or os.environ.get("GRAVO_MG_DIAG_ANY_TG") == "1")
+            # Per-slot-lane HBM traffic with int8 lanes: diag ~9 B (v4 +
+            # r1 + DMA slice read 4); shuffle ~17 B (v4 + r1 + z write 4
+            # + z read 4 + row-gather read 4).  Accept diag while its
+            # padding keeps it within 2x of shuffle's traffic.  Cheap
+            # accept first: kp_shuffle >= K (a K-entry row occupies K
+            # slots of its group), so passing the bound against K proves
+            # it against kp_s without building the shuffle layout — this
+            # skips a second full-layout pass for well-ordered meshes.
+            if tg_ok and 9 * kp_d <= 2 * 17 * idx.shape[0]:
                 plan = ("diag",) + dplan
-            else:
-                plan = ("shuf",) + splan
-        else:
+            elif tg_ok:
+                splan = shuffle_plan_arrays(idx, mask, idx.shape[1])
+                if 9 * kp_d <= 2 * 17 * splan[0].shape[0]:
+                    plan = ("diag",) + dplan
+                else:
+                    plan = ("shuf",) + splan
+        if plan is None:
             plan = ("shuf",) + shuffle_plan_arrays(idx, mask, idx.shape[1])
         # Pathology guard: operators whose rows have wildly uneven
         # per-(group, block) structure (e.g. the near-dense coarse levels
@@ -509,19 +550,28 @@ class MultigridSolveContext:
                 )
             elif plan[0] == "diag":
                 _, start, tg, r, _src = plan
-                v = np.append(A.data, 0.0)[self._csr_src[k]]
+                # Cast the (nnz,) value table to compute dtype BEFORE the
+                # padded-layout gather: the gathered array is KP*S*128
+                # elements (up to ~10x nnz), so gathering f32 instead of
+                # f64 halves this pass's memory traffic and the upload
+                # staging.
+                table = np.append(A.data, 0.0).astype(
+                    np.dtype(self.dtype), copy=False
+                )
                 A_shuf = DiagEll(
                     jnp.asarray(start),
                     jnp.asarray(r),  # int8 lanes 0..127 (diag_plan_arrays)
-                    jnp.asarray(v, dtype=self.dtype),
+                    jnp.asarray(table[self._csr_src[k]]),
                     tg, A.shape[0], A.shape[1],
                 )
             else:
                 _, q, r, _src = plan
-                v = np.append(A.data, 0.0)[self._csr_src[k]]
+                table = np.append(A.data, 0.0).astype(
+                    np.dtype(self.dtype), copy=False
+                )
                 A_shuf = ShuffleEll(
                     jnp.asarray(q), jnp.asarray(r),
-                    jnp.asarray(v, dtype=self.dtype),
+                    jnp.asarray(table[self._csr_src[k]]),
                     A.shape[0], A.shape[1],
                 )
             diag_inv = jnp.asarray(diag_inv_np, dtype=self.dtype)
@@ -602,7 +652,10 @@ class MultigridSolveContext:
         # deflated-rhs + x0 (through the relay tunnel bulk h2d runs at
         # ~15 MB/s, so each avoided 4-8 MB upload saves ~0.3-0.5 s of
         # per-solve latency; on directly-attached TPUs this is sub-ms).
-        self._row_sums_dev = jnp.asarray(self.row_sums)
+        # Uploaded lazily at first solve: this is the context's first h2d,
+        # and paying the transfer-path rendezvous inside setup serialized
+        # setup_analyze behind backend init.
+        self._row_sums_cache = None
 
     def update_lhs(self, lhs_csr):
         """Re-run the value-only reduction for a new LHS with the same
@@ -732,16 +785,23 @@ class MultigridSolveContext:
             alpha = np.zeros(rhs2.shape[1])
         # ONE compute-dtype upload of the raw rhs; the exact f64 deflation
         # ``b = rhs - alpha * (A @ 1)`` runs on device against the f64
-        # row_sums copy made at setup.  Accuracy is unchanged up to the
-        # initial compute-dtype quantization of rhs (which the previous
-        # host-deflated upload paid too); alpha itself stays exact f64
-        # host algebra.
+        # row_sums copy made at setup.  Precision note (ADVICE r4): the
+        # rhs is quantized to compute dtype BEFORE the subtract, so for an
+        # RHS dominated by the constant mode ``b`` carries ~eps_f32*|rhs|
+        # absolute error — bounded relative to the den-normalized stopping
+        # criteria (den uses the original rhs), i.e. ~1.2e-7 relative,
+        # far below the f32 path's 1e-4..1e-6 targets.  Tight-tolerance
+        # work uses dtype=f64 contexts, where the upload is f64 and the
+        # subtract is exact; alpha itself is exact f64 host algebra in
+        # both cases.
         rhs_dev = jnp.asarray(
             rhs2[:, 0] if squeeze else rhs2, dtype=self.dtype
         )
         alpha_dev = jnp.asarray(alpha[0] if squeeze else alpha[None, :])
+        if self._row_sums_cache is None:
+            self._row_sums_cache = jnp.asarray(self.row_sums)
         rs_dev = (
-            self._row_sums_dev if squeeze else self._row_sums_dev[:, None]
+            self._row_sums_cache if squeeze else self._row_sums_cache[:, None]
         )
         b = (rhs_dev.astype(jnp.float64) - alpha_dev * rs_dev).astype(
             self.dtype

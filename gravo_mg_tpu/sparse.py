@@ -267,17 +267,38 @@ def shuffle_from_scipy(A, dtype=jnp.float32) -> ShuffleEll:
     A = A.tocoo()
     A.sum_duplicates()
     nr, nc = A.shape
+    # Diagonal fast path (mass matrices): slot 0 of group g sources block
+    # g with lane == row lane — no sort needed.
+    if (nr == nc and A.nnz == nr
+            and np.array_equal(A.row, A.col)
+            and np.array_equal(A.row, np.arange(nr))):
+        s = max(-(-nr // 128), 1)
+        s += (-s) % 8
+        kc = 4
+        q = np.zeros((kc, s), np.int32)
+        q[0, : -(-nr // 128)] = np.arange(-(-nr // 128), dtype=np.int32)
+        r = np.zeros((kc, s, 128), np.int8)
+        r[0] = np.arange(128, dtype=np.int8)[None, :]
+        v = np.zeros((kc, s, 128), np.float64)
+        v.reshape(kc, -1)[0, :nr] = A.data
+        return ShuffleEll(
+            jnp.asarray(q), jnp.asarray(r),
+            jnp.asarray(v, dtype=dtype), nr, nc,
+        )
     kp, s, q, pos = _shuffle_layout(A.row, A.col, nr, nc)
     # Lanes 0..127 fit int8 — 4x less index traffic than int32 on every
     # SpMV/transfer stream and upload (the kernel converts in-register).
+    # Values are staged directly in the target dtype: the padded array is
+    # up to ~17x nnz (finest U^T), so filling f32 instead of f64 halves
+    # the conversion traffic.
     r = np.zeros((kp * s * 128,), np.int8)
-    v = np.zeros((kp * s * 128,), np.float64)
+    v = np.zeros((kp * s * 128,), np.dtype(dtype))
     r[pos] = np.asarray(A.col, np.int64) & 127
     v[pos] = A.data
     return ShuffleEll(
         jnp.asarray(q),
         jnp.asarray(r.reshape(kp, s, 128)),
-        jnp.asarray(v.reshape(kp, s, 128), dtype=dtype),
+        jnp.asarray(v.reshape(kp, s, 128)),
         nr, nc,
     )
 
@@ -489,13 +510,13 @@ def diag_from_scipy(A, dtype=jnp.float32) -> DiagEll:
         np.asarray(A.row, np.int64), np.asarray(A.col, np.int64), nr, nc
     )
     r = np.zeros((kp * s_pad * 128,), np.int8)   # lanes 0..127 fit int8
-    v = np.zeros((kp * s_pad * 128,), np.float64)
+    v = np.zeros((kp * s_pad * 128,), np.dtype(dtype))
     r[pos] = (np.asarray(A.col, np.int64) & 127).astype(np.int8)
     v[pos] = A.data
     return DiagEll(
         jnp.asarray(start),
         jnp.asarray(r.reshape(kp, s_pad, 128)),
-        jnp.asarray(v.reshape(kp, s_pad, 128), dtype=dtype),
+        jnp.asarray(v.reshape(kp, s_pad, 128)),
         tg, nr, nc,
     )
 

@@ -119,3 +119,49 @@ def test_diag_multirhs_dispatch():
     np.testing.assert_allclose(
         np.asarray(spmv(D, jnp.asarray(X))), A @ X, rtol=1e-10, atol=1e-10
     )
+
+
+def test_diag_pallas_kernel_interpret():
+    """The actual Pallas slice-DMA kernel (double-buffered make_async_copy
+    + semaphores), run in TPU interpret mode on CPU and compared against
+    the XLA reference path at the kernel's production shape family
+    (f32, tg=512, KP multiple of 4).  Before this test the kernel's
+    correctness rested entirely on TPU bench runs (ADVICE r4)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gravo_mg_tpu.ops.diag_spmv import _diag_spmv_pallas, _diag_spmv_xla
+    from gravo_mg_tpu.sparse import _diag_layout
+
+    tg = 512
+    n = tg * 128              # one full tile of 512 groups
+    A = _rand_banded(n, n, 200, 3, 7).tocoo()
+    A.sum_duplicates()
+    kp, s_pad, tg2, start, pos = _diag_layout(
+        np.asarray(A.row, np.int64), np.asarray(A.col, np.int64), n, n,
+        tg=tg,
+    )
+    assert tg2 == tg and s_pad == tg and start.shape[0] == 1
+    assert kp % 4 == 0
+    r = np.zeros((kp * s_pad * 128,), np.int8)
+    v = np.zeros((kp * s_pad * 128,), np.float64)
+    r[pos] = (np.asarray(A.col, np.int64) & 127).astype(np.int8)
+    v[pos] = A.data
+    D = DiagEll(
+        jnp.asarray(start), jnp.asarray(r.reshape(kp, s_pad, 128)),
+        jnp.asarray(v.reshape(kp, s_pad, 128), dtype=jnp.float32),
+        tg, n, n,
+    )
+    A = A.tocsr()
+    x = np.random.default_rng(8).standard_normal(n).astype(np.float32)
+    nb = -(-D.ncols // 128)
+    xp = np.zeros(((nb + 2 * tg) * 128,), np.float32)
+    xp[tg * 128: tg * 128 + n] = x
+    xb_pad = jnp.asarray(xp.reshape(-1, 128))
+    ref = _diag_spmv_xla(
+        D.start, xb_pad[tg:-tg], D.r, D.v, tg
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = _diag_spmv_pallas(D.start, xb_pad, D.r, D.v, tg)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )

@@ -137,6 +137,32 @@ def test_solve_poisson_system(medium_mesh):
     assert solver.residual(lhs, rhs, x) <= 1e-4
 
 
+def test_solve_diag_levels_flag(medium_mesh, monkeypatch):
+    """The DiagEll in-loop path (GRAVO_MG_DIAG_LEVELS=1) must solve to
+    tolerance and actually select DiagEll for the finest level.  The size
+    and tile gates are lowered so the small CPU mesh takes the diag
+    branch (through the XLA fallback kernel)."""
+    from gravo_mg_tpu.sparse import DiagEll
+
+    monkeypatch.setenv("GRAVO_MG_DIAG_LEVELS", "1")
+    monkeypatch.setenv("GRAVO_MG_DIAG_MIN_GROUPS", "1")
+    monkeypatch.setenv("GRAVO_MG_DIAG_ANY_TG", "1")
+    lhs, rhs = _system(medium_mesh)
+    solver = MultigridSolver(
+        medium_mesh["V"], medium_mesh["neigh"], medium_mesh["M"],
+        lower_bound=200,
+    )
+    x = solver.solve(lhs, rhs)
+    assert solver.residual(lhs, rhs, x) <= 1e-4
+    ctx = next(iter(solver._contexts.values()))
+    assert any(isinstance(lvl.A, DiagEll) for lvl in ctx.levels), (
+        "diag flag set but no level picked the DiagEll layout"
+    )
+    # Fused mode exercises the same operators inside lax.while_loop.
+    x2 = solver.solve(lhs, rhs, mode="fused")
+    assert solver.residual(lhs, rhs, x2) <= 1e-4
+
+
 def test_solve_matches_direct(medium_mesh):
     lhs, rhs = _system(medium_mesh)
     solver = MultigridSolver(
@@ -281,6 +307,7 @@ def test_update_lhs_value_only_reuse(medium_mesh):
     transfers_before = ctx.transfers
     shuf_before = ctx._shuf_np
     patterns_before = ctx._patterns
+    csr_src_before = ctx._csr_src
     x1, _, _, _ = ctx.solve(rhs, tol=1e-5, max_iter=50)
 
     lhs2 = (M + 2e-3 * S).tocsr()   # same sparsity, new values
@@ -291,6 +318,7 @@ def test_update_lhs_value_only_reuse(medium_mesh):
     assert ctx.transfers is transfers_before
     assert ctx._shuf_np is shuf_before
     assert ctx._patterns is patterns_before
+    assert ctx._csr_src is csr_src_before
     x2, _, res2, _ = ctx.solve(rhs, tol=1e-5, max_iter=50)
     assert ctx.residual(rhs, x2) <= 2e-5
     assert not np.allclose(x1, x2)  # genuinely a different system
