@@ -48,6 +48,21 @@ def main():
     t_start = time.perf_counter()
     log(f"devices: {jax.devices()} "
         f"(backend init {time.perf_counter()-t_start:.1f}s)")
+    # Host-speed calibration: this container's CPU shows 2-7x run-to-run
+    # variance on identical work (hypervisor steal bursts; measured
+    # 1.22/2.29/0.33 s for the same 2e7 sort back-to-back).  The best-of-3
+    # time for a fixed reference op is reported so host-phase numbers
+    # (hierarchy, setup) can be read against it across rounds; ~0.33 s
+    # is an unloaded host.
+    _ca = np.random.default_rng(0).standard_normal(int(2e7))
+    host_cal = min(
+        (lambda t0: (np.sort(_ca), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(3)
+    )
+    del _ca
+    log(f"host calibration (2e7 sort, best of 3): {host_cal:.2f}s")
     # One-time relay d2h path init (60-900 s through the tunnel, measured;
     # sub-second on directly-attached TPUs) — start paying it NOW on a
     # daemon thread so it overlaps the whole host-side pipeline below.
@@ -259,6 +274,7 @@ def main():
             "d2h_init_s": round(d2h.get("d2h_init_s", 0.0), 2),
             "hierarchy_warm_s": round(hier_warm, 3),
             "hierarchy_cold_s": round(hier_cold, 3),
+            "host_cal_s": round(host_cal, 3),
             "setup_s": round(setup_s, 3),
             "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 3),
             "spmv_diag_gnnz_per_s": round(diag_nnz_per_s / 1e9, 3),

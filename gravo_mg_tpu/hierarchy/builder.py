@@ -167,6 +167,7 @@ def build_hierarchy(
     timing = {
         "sampling": 0.0, "cluster": 0.0, "next_neighborhood": 0.0,
         "next_positions": 0.0, "triangle_selection": 0.0,
+        "edge_lengths": 0.0, "prolongation_assembly": 0.0,
     }
     t_total = time.perf_counter()
 
@@ -178,7 +179,9 @@ def build_hierarchy(
         # One host-side edge-length table per level, shared by the radius
         # rule, sampler and clustering (avoids per-phase eager jnp glue —
         # each eager op costs a per-level-shape compile through the relay).
+        t0 = time.perf_counter()
         edge_d = edge_lengths_np(level_pos, level_neigh)
+        timing["edge_lengths"] += time.perf_counter() - t0
         finite = np.isfinite(edge_d) & (edge_d > 0)
         avg_e = float(edge_d[finite].mean()) if finite.any() else 1.0
         radius = float(np.cbrt(ratio)) * avg_e
@@ -263,9 +266,12 @@ def build_hierarchy(
             _coarse_normals(level_nrm, labels, nc)
             if level_nrm is not None else None
         )
+        t0 = time.perf_counter()
+        U_level = make_prolongation(cols, w, nc)
+        timing["prolongation_assembly"] += time.perf_counter() - t0
         levels.append(
             HierarchyLevel(
-                U=make_prolongation(cols, w, nc),
+                U=U_level,
                 samples=samples,
                 labels=labels,
                 coarse_points=coarse_pos,

@@ -389,9 +389,18 @@ class MultigridSolveContext:
         # csr).  Sentinel K*N (padding) maps to the appended zero at nnz.
         t0 = time.perf_counter()
         self._csr_src = []
+        # Device-assembly streams (see sparse._device_assemble_enabled):
+        # per level, (pos sorted i32, lanes i8, csr_order i32) — the
+        # nnz-compressed form of the padded layout, uploaded instead of
+        # the padded arrays when the host->device link is slow.  The
+        # assembled device r is cached per pattern (_dev_r); only values
+        # re-upload on update_lhs.
+        self._val_stream = []
+        self._dev_r = {}
         for k2, plan in enumerate(self._shuf_np):
             if plan[0] == "ell":
                 self._csr_src.append(None)
+                self._val_stream.append(None)
                 continue
             src = plan[4] if plan[0] == "diag" else plan[3]
             indptr = chain[k2].indptr
@@ -412,6 +421,18 @@ class MultigridSolveContext:
                 csr_pos = indptr[row] + slot
                 csr_pos[pad] = chain[k2].nnz
             self._csr_src.append(csr_pos.reshape(src.shape))
+            from ..sparse import _device_assemble_enabled
+
+            if _device_assemble_enabled(src.size):
+                r_arr = plan[3] if plan[0] == "diag" else plan[2]
+                posn = np.flatnonzero(~pad).astype(np.int32)
+                self._val_stream.append((
+                    posn,
+                    r_arr.reshape(-1)[posn],
+                    csr_pos.reshape(-1)[posn].astype(np.int32),
+                ))
+            else:
+                self._val_stream.append(None)
         self.timing["setup_csr_src"] = (time.perf_counter() - t0) * 1000
 
         # --- values: fill layouts, spectral bounds, coarse factor, upload -
@@ -493,6 +514,39 @@ class MultigridSolveContext:
             return ("ell",)
         return plan
 
+    def _level_rv(self, k, r_np, A):
+        """Device (KP, *, 128) lane/value arrays for level k's operator.
+
+        Fast-link/CPU path: host-gather the padded value array (pre-cast
+        to compute dtype — the padded array is up to ~10x nnz, so the
+        gather runs in f32) and upload both.  Slow-link path
+        (sparse._device_assemble_enabled): upload the nnz-compressed
+        (pos, lane, value) stream and scatter-assemble on device; the
+        assembled lane array is cached per pattern so update_lhs only
+        re-uploads values.
+        """
+        from ..sparse import _assemble_rv
+
+        stream = self._val_stream[k]
+        shape = r_np.shape
+        if stream is None:
+            table = np.append(A.data, 0.0).astype(
+                np.dtype(self.dtype), copy=False
+            )
+            return jnp.asarray(r_np), jnp.asarray(table[self._csr_src[k]])
+        posn, lanes, csr_order = stream
+        vals = np.asarray(A.data).astype(
+            np.dtype(self.dtype), copy=False
+        )[csr_order]
+        padded = int(np.prod(shape))
+        rj = self._dev_r.get(k)
+        rd, vd = _assemble_rv(
+            padded, posn, None if rj is not None else lanes, vals
+        )
+        if rj is None:
+            rj = self._dev_r[k] = rd.reshape(shape)
+        return rj, vd.reshape(shape)
+
     def _build_transfer(self, k_and_Ucsr):
         """ShuffleTransfer for level k's U/U^T, with the same padding
         pathology guard as _plan_level: if either shuffle layout pads
@@ -550,29 +604,16 @@ class MultigridSolveContext:
                 )
             elif plan[0] == "diag":
                 _, start, tg, r, _src = plan
-                # Cast the (nnz,) value table to compute dtype BEFORE the
-                # padded-layout gather: the gathered array is KP*S*128
-                # elements (up to ~10x nnz), so gathering f32 instead of
-                # f64 halves this pass's memory traffic and the upload
-                # staging.
-                table = np.append(A.data, 0.0).astype(
-                    np.dtype(self.dtype), copy=False
-                )
+                rj, vj = self._level_rv(k, r, A)
                 A_shuf = DiagEll(
-                    jnp.asarray(start),
-                    jnp.asarray(r),  # int8 lanes 0..127 (diag_plan_arrays)
-                    jnp.asarray(table[self._csr_src[k]]),
+                    jnp.asarray(start), rj, vj,
                     tg, A.shape[0], A.shape[1],
                 )
             else:
                 _, q, r, _src = plan
-                table = np.append(A.data, 0.0).astype(
-                    np.dtype(self.dtype), copy=False
-                )
+                rj, vj = self._level_rv(k, r, A)
                 A_shuf = ShuffleEll(
-                    jnp.asarray(q), jnp.asarray(r),
-                    jnp.asarray(table[self._csr_src[k]]),
-                    A.shape[0], A.shape[1],
+                    jnp.asarray(q), rj, vj, A.shape[0], A.shape[1],
                 )
             diag_inv = jnp.asarray(diag_inv_np, dtype=self.dtype)
             lam_j = jnp.asarray(lam, dtype=self.dtype)

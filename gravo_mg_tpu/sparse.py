@@ -262,6 +262,53 @@ def _shuffle_layout(rows: np.ndarray, cols: np.ndarray, nr: int, nc: int,
     return kp, S, q, flat_pos
 
 
+def _device_assemble_enabled(padded: int) -> bool:
+    """Gate for assembling padded layout arrays ON DEVICE from the
+    nnz-compressed (pos, lane, value) stream instead of uploading the
+    padded arrays themselves.
+
+    Padded layouts carry 2-38x structural zeros (the finest U^T pads
+    ~17x); through a slow host->device link (the relay tunnel streams at
+    ~3-15 MB/s) uploading ~12 B/nnz and scattering device-side cuts
+    context-setup upload time several-fold.  On directly-attached TPUs
+    both paths are sub-second; the host path is kept for CPU (tests) and
+    small operators.  GRAVO_MG_DEVICE_ASSEMBLE=0 forces host uploads,
+    =1 forces device assembly at any size (tests).
+    """
+    import os
+
+    env = os.environ.get("GRAVO_MG_DEVICE_ASSEMBLE")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    if padded < (1 << 22):
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def _assemble_rv(padded: int, pos: np.ndarray, lanes: np.ndarray,
+                 vals: np.ndarray):
+    """Device-side scatter assembly of the flat lane/value arrays.
+
+    ``pos`` must be sorted ascending and unique (layout destinations
+    are).  Returns (r int8 (padded,) or None when lanes is None,
+    v (padded,) of vals.dtype).
+    """
+    pos_d = jnp.asarray(pos.astype(np.int32, copy=False))
+    r = None
+    if lanes is not None:
+        r = jnp.zeros((padded,), jnp.int8).at[pos_d].set(
+            jnp.asarray(lanes), indices_are_sorted=True, unique_indices=True
+        )
+    v = jnp.zeros((padded,), jnp.asarray(vals).dtype).at[pos_d].set(
+        jnp.asarray(vals), indices_are_sorted=True, unique_indices=True
+    )
+    return r, v
+
+
 def shuffle_from_scipy(A, dtype=jnp.float32) -> ShuffleEll:
     """Convert any scipy sparse matrix to shuffle-ELL (host-side)."""
     A = A.tocoo()
@@ -286,14 +333,26 @@ def shuffle_from_scipy(A, dtype=jnp.float32) -> ShuffleEll:
             jnp.asarray(v, dtype=dtype), nr, nc,
         )
     kp, s, q, pos = _shuffle_layout(A.row, A.col, nr, nc)
-    # Lanes 0..127 fit int8 — 4x less index traffic than int32 on every
-    # SpMV/transfer stream and upload (the kernel converts in-register).
-    # Values are staged directly in the target dtype: the padded array is
-    # up to ~17x nnz (finest U^T), so filling f32 instead of f64 halves
-    # the conversion traffic.
-    r = np.zeros((kp * s * 128,), np.int8)
-    v = np.zeros((kp * s * 128,), np.dtype(dtype))
-    r[pos] = np.asarray(A.col, np.int64) & 127
+    padded = kp * s * 128
+    lanes8 = (np.asarray(A.col, np.int64) & 127).astype(np.int8)
+    if _device_assemble_enabled(padded):
+        order = np.argsort(pos, kind="stable")
+        rd, vd = _assemble_rv(
+            padded, pos[order], lanes8[order],
+            np.asarray(A.data).astype(np.dtype(dtype), copy=False)[order],
+        )
+        return ShuffleEll(
+            jnp.asarray(q), rd.reshape(kp, s, 128),
+            vd.reshape(kp, s, 128), nr, nc,
+        )
+    # Host path: lanes 0..127 fit int8 — 4x less index traffic than
+    # int32 on every SpMV/transfer stream and upload (the kernel
+    # converts in-register).  Values are staged directly in the target
+    # dtype: the padded array is up to ~17x nnz (finest U^T), so filling
+    # f32 instead of f64 halves the conversion traffic.
+    r = np.zeros((padded,), np.int8)
+    v = np.zeros((padded,), np.dtype(dtype))
+    r[pos] = lanes8
     v[pos] = A.data
     return ShuffleEll(
         jnp.asarray(q),
@@ -509,9 +568,21 @@ def diag_from_scipy(A, dtype=jnp.float32) -> DiagEll:
     kp, s_pad, tg, start, pos = _diag_layout(
         np.asarray(A.row, np.int64), np.asarray(A.col, np.int64), nr, nc
     )
-    r = np.zeros((kp * s_pad * 128,), np.int8)   # lanes 0..127 fit int8
-    v = np.zeros((kp * s_pad * 128,), np.dtype(dtype))
-    r[pos] = (np.asarray(A.col, np.int64) & 127).astype(np.int8)
+    padded = kp * s_pad * 128
+    lanes8 = (np.asarray(A.col, np.int64) & 127).astype(np.int8)
+    if _device_assemble_enabled(padded):
+        order = np.argsort(pos, kind="stable")
+        rd, vd = _assemble_rv(
+            padded, pos[order], lanes8[order],
+            np.asarray(A.data).astype(np.dtype(dtype), copy=False)[order],
+        )
+        return DiagEll(
+            jnp.asarray(start), rd.reshape(kp, s_pad, 128),
+            vd.reshape(kp, s_pad, 128), tg, nr, nc,
+        )
+    r = np.zeros((padded,), np.int8)   # lanes 0..127 fit int8
+    v = np.zeros((padded,), np.dtype(dtype))
+    r[pos] = lanes8
     v[pos] = A.data
     return DiagEll(
         jnp.asarray(start),

@@ -336,3 +336,25 @@ def test_update_lhs_value_only_reuse(medium_mesh):
     # 2x: pure sanity — on the 2-core host a concurrent process can skew
     # either side by ~50%.
     assert t_update < 2.0 * max(t_fresh, t_setup), (t_update, t_fresh)
+
+
+def test_solve_device_assemble(medium_mesh, monkeypatch):
+    """End-to-end solve with the device-assembly upload path forced on
+    (the slow-link optimization, sparse._device_assemble_enabled) —
+    covers the level-operator value streams plus update_lhs's
+    values-only re-assembly with the cached lane array."""
+    monkeypatch.setenv("GRAVO_MG_DEVICE_ASSEMBLE", "1")
+    lhs, rhs = _system(medium_mesh)
+    solver = MultigridSolver(
+        medium_mesh["V"], medium_mesh["neigh"], medium_mesh["M"],
+        lower_bound=200,
+    )
+    x = solver.solve(lhs, rhs)
+    assert solver.residual(lhs, rhs, x) <= 1e-4
+    ctx = next(iter(solver._contexts.values()))
+    assert any(v is not None for v in ctx._val_stream)
+    assert ctx._dev_r, "device lane-array cache unused"
+    lhs2 = (medium_mesh["M"] + 2e-3 * medium_mesh["S"]).tocsr()
+    ctx.update_lhs(lhs2)
+    x2, _, _, _ = ctx.solve(rhs[:, 0], tol=1e-4)
+    assert ctx.residual(rhs[:, 0], x2) <= 1e-4
