@@ -145,7 +145,7 @@ def run(args):
     else:
         sizes = [("sphere", 5), ("torus", 16384), ("sphere", 6), ("torus", 65536)]
         if args.large:
-            sizes += [("torus", 262144), ("sphere", 7)]
+            sizes += [("torus", 262144), ("sphere", 7), ("torus", 524288)]
         shapes = generated_shapes(sizes)
         print(f"generated {len(shapes)} procedural shapes")
 

@@ -423,7 +423,7 @@ class MultigridSolveContext:
             self._csr_src.append(csr_pos.reshape(src.shape))
             from ..sparse import _device_assemble_enabled
 
-            if _device_assemble_enabled(src.size):
+            if src.size < 2**31 and _device_assemble_enabled(src.size):
                 r_arr = plan[3] if plan[0] == "diag" else plan[2]
                 posn = np.flatnonzero(~pad).astype(np.int32)
                 self._val_stream.append((
@@ -554,17 +554,24 @@ class MultigridSolveContext:
         orderings), fall back to the hierarchy's Prolongation object
         (gather + sorted segment-sum) — same duck-typed interface."""
         k, Ucsr = k_and_Ucsr
-        U_sh = shuffle_from_scipy(Ucsr, dtype=self.dtype)
-        UT_sh = shuffle_from_scipy(Ucsr.T.tocsr(), dtype=self.dtype)
         # 24x, much looser than the level cap: the finest restriction
         # U^T legitimately pads ~17x at 1M (each coarse group's 128 rows
         # source from hundreds of fine blocks: kp 400 over avg 24
         # nnz/row) and its shuffle form is still ~6x faster per apply
         # than the segment-sum fallback (r4: flipping L0's transfer to
         # Prolongation regressed the warm 1M solve 0.076 -> 0.43 s).
-        # The sig06-on-raster pathology this guards against pads >100x.
+        # The sig06/sig21-on-raster pathology this guards against pads
+        # >100x; the cap is enforced INSIDE shuffle_from_scipy (None
+        # return) so pathological layouts never materialize (a 262k
+        # sig21 U^T once padded to 4.3G elements).
         cap = max(24 * Ucsr.nnz, 1 << 24)
-        if (U_sh.v.size > cap) or (UT_sh.v.size > cap):
+        U_sh = shuffle_from_scipy(Ucsr, dtype=self.dtype, size_cap=cap)
+        UT_sh = (
+            shuffle_from_scipy(Ucsr.T.tocsr(), dtype=self.dtype,
+                               size_cap=cap)
+            if U_sh is not None else None
+        )
+        if U_sh is None or UT_sh is None:
             P = self.hierarchy.levels[k].U
             # Device copy: the hierarchy keeps host-numpy leaves (setup
             # must not touch the device); as a cycle operand they must be

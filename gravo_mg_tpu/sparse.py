@@ -309,8 +309,16 @@ def _assemble_rv(padded: int, pos: np.ndarray, lanes: np.ndarray,
     return r, v
 
 
-def shuffle_from_scipy(A, dtype=jnp.float32) -> ShuffleEll:
-    """Convert any scipy sparse matrix to shuffle-ELL (host-side)."""
+def shuffle_from_scipy(A, dtype=jnp.float32,
+                       size_cap: int | None = None) -> ShuffleEll | None:
+    """Convert any scipy sparse matrix to shuffle-ELL (host-side).
+
+    ``size_cap``: if the layout would pad beyond this many elements
+    (pathological structures — e.g. sig06/sig21 prolongations on
+    raster-ordered meshes pad >100x), return None WITHOUT materializing
+    the padded arrays (a 262k sig21 U^T once tried to allocate 4.3G
+    elements); callers fall back to a gather/segment-sum form.
+    """
     A = A.tocoo()
     A.sum_duplicates()
     nr, nc = A.shape
@@ -334,8 +342,10 @@ def shuffle_from_scipy(A, dtype=jnp.float32) -> ShuffleEll:
         )
     kp, s, q, pos = _shuffle_layout(A.row, A.col, nr, nc)
     padded = kp * s * 128
+    if size_cap is not None and padded > size_cap:
+        return None
     lanes8 = (np.asarray(A.col, np.int64) & 127).astype(np.int8)
-    if _device_assemble_enabled(padded):
+    if padded < 2**31 and _device_assemble_enabled(padded):
         order = np.argsort(pos, kind="stable")
         rd, vd = _assemble_rv(
             padded, pos[order], lanes8[order],
