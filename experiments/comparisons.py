@@ -265,9 +265,13 @@ def run(args):
 
         if args.cg:
             print("  CG")
-            t = time.perf_counter()
-            solver.cg_solve(lhs, rhs)
-            cg_time = (time.perf_counter() - t) * 1000
+            try:
+                t = time.perf_counter()
+                solver.cg_solve(lhs, rhs)
+                cg_time = (time.perf_counter() - t) * 1000
+            except Exception as e:  # noqa: BLE001 — keep the suite alive
+                print(f"  CG failed: {e}")
+                cg_time = float("nan")
             f = out / f"cg_tau{args.tau}_{args.label}.csv"
             with open(f, "w" if i == 0 else "a") as fh:
                 if i == 0:

@@ -73,8 +73,21 @@ def cg_solve(
     dtype=jnp.float32,
     jacobi_precond: bool = True,
 ):
-    """Device-side (diagonally preconditioned) conjugate gradients."""
-    A = ell_from_scipy(lhs_csr, dtype=dtype)
+    """Device-side (diagonally preconditioned) conjugate gradients.
+
+    Runs in bounded chunks (restarted warm-start CG) with a host-side
+    convergence check between chunks: ill-conditioned systems (Poisson
+    at >=262k) need thousands of iterations, and a single device
+    while_loop of that length ran long enough to trip the relay worker's
+    watchdog ('TPU worker process crashed').  The operator uses the
+    shuffle layout — the generic ELL gather is scalar-unit-bound and
+    made each iteration ~100x slower.
+    """
+    from ..sparse import shuffle_from_scipy
+
+    A = shuffle_from_scipy(lhs_csr, dtype=dtype)
+    if A is None:  # pathological layout: fall back to generic ELL
+        A = ell_from_scipy(lhs_csr, dtype=dtype)
     b = jnp.asarray(rhs, dtype=dtype)
     dinv = 1.0 / np.maximum(np.asarray(lhs_csr.diagonal()), 1e-30)
     dinv = jnp.asarray(dinv, dtype=dtype)
@@ -83,7 +96,14 @@ def cg_solve(
     else:
         dinv_m = dinv
     Mop = (lambda v: dinv_m * v) if jacobi_precond else None
-    x, _ = jax.scipy.sparse.linalg.cg(
-        lambda v: spmv(A, v), b, tol=tol, maxiter=max_iter, M=Mop
-    )
+    bnorm = float(jnp.linalg.norm(b))
+    chunk = 500
+    x = jnp.zeros_like(b)
+    for _ in range(-(-max_iter // chunk)):
+        x, _ = jax.scipy.sparse.linalg.cg(
+            lambda v: spmv(A, v), b, x0=x, tol=tol, maxiter=chunk, M=Mop
+        )
+        res = float(jnp.linalg.norm(b - spmv(A, x)))
+        if res <= tol * max(bnorm, 1e-30):
+            break
     return np.asarray(x)

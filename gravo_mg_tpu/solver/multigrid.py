@@ -749,31 +749,38 @@ class MultigridSolveContext:
 
         n = self.levels[0].A.shape[0]
         shape = (n,) if cols is None else (n, cols)
-        b_s = jax.ShapeDtypeStruct(shape, self.dtype)
-        den_s = jax.ShapeDtypeStruct((1 if cols is None else cols,),
-                                     self.dtype)
-        tol_s = jax.ShapeDtypeStruct((), self.dtype)
         cfg = self.cfg
 
         def _work():
+            # REAL dummy calls (zeros; tol chosen so the fused loop exits
+            # after one body evaluation), not .lower().compile(): only an
+            # actual call populates pjit's executable cache, so the first
+            # user solve dispatches without paying retrace + persistent-
+            # cache fetch (~1-2 s/program through the relay — it made the
+            # comparison suite's one-shot 'cycles' look ~1 s/cycle).
             try:
+                b0 = jnp.zeros(shape, self.dtype)
+                den0 = jnp.ones((1 if cols is None else cols,), self.dtype)
                 if mode == "fused":
-                    fused_solve.lower(
+                    out = fused_solve(
                         cfg, self.levels, self.coarse_op, self.M,
-                        self.Minv_diag, b_s, b_s, den_s, tol_s,
-                        criteria, max_iter,
-                    ).compile()
+                        self.Minv_diag, b0, b0, den0,
+                        jnp.asarray(1e30, self.dtype), criteria, max_iter,
+                    )
                 else:
-                    cycle_step.lower(
-                        cfg, self.levels, self.coarse_op, b_s, b_s
-                    ).compile()
-                    residual_numerator.lower(
-                        self.levels[0].A, self.M, self.Minv_diag, b_s, b_s,
-                        criteria,
-                    ).compile()
-                residual_denominator.lower(
-                    self.M, self.Minv_diag, b_s, criteria
-                ).compile()
+                    out = (
+                        cycle_step(
+                            cfg, self.levels, self.coarse_op, b0, b0
+                        ),
+                        residual_numerator(
+                            self.levels[0].A, self.M, self.Minv_diag,
+                            b0, b0, criteria,
+                        ),
+                    )
+                out = out + (residual_denominator(
+                    self.M, self.Minv_diag, b0, criteria
+                ),)
+                jax.block_until_ready(out)
             except Exception as e:  # noqa: BLE001 — solve() recompiles/raises
                 self.timing[f"prepare_error_{mode}"] = repr(e)
 

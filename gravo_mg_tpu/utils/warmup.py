@@ -41,6 +41,8 @@ def _enabled() -> bool:
     device; warm_d2h_async defers the check to its worker)."""
     if os.environ.get("GRAVO_MG_NO_WARMUP") == "1":
         return False
+    if os.environ.get("GRAVO_MG_FORCE_WARMUP") == "1":
+        return True  # tests: exercise warm/prepare paths on CPU
     import jax
 
     return jax.default_backend() != "cpu"

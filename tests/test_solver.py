@@ -358,3 +358,23 @@ def test_solve_device_assemble(medium_mesh, monkeypatch):
     ctx.update_lhs(lhs2)
     x2, _, _, _ = ctx.solve(rhs[:, 0], tol=1e-4)
     assert ctx.residual(rhs[:, 0], x2) <= 1e-4
+
+
+def test_prepare_async_dummy_call(medium_mesh, monkeypatch):
+    """The background program preparation (dummy zero-solve that warms
+    the pjit executable cache) must leave solve() results untouched and
+    record no prepare errors."""
+    monkeypatch.setenv("GRAVO_MG_FORCE_WARMUP", "1")
+    lhs, rhs = _system(medium_mesh)
+    solver = MultigridSolver(
+        medium_mesh["V"], medium_mesh["neigh"], medium_mesh["M"],
+        lower_bound=200,
+    )
+    x = solver.solve(lhs, rhs)            # traced path joins its prepare
+    assert solver.residual(lhs, rhs, x) <= 1e-4
+    x2 = solver.solve(lhs, rhs, mode="fused")
+    assert solver.residual(lhs, rhs, x2) <= 1e-4
+    ctx = next(iter(solver._contexts.values()))
+    assert ctx._prepare_threads, "prepare threads never started"
+    errs = [k for k in ctx.timing if k.startswith("prepare_error")]
+    assert not errs, {k: ctx.timing[k] for k in errs}
