@@ -221,9 +221,9 @@ def sharded_solve(
     n = sctx.n_rows
     alpha = np.zeros(rhs2.shape[1])
     if sctx.row_sums is not None:
-        denom = float(sctx.row_sums.sum())
-        if abs(denom) > 1e-12 * sctx.lhs_scale * n:
-            alpha = rhs2.sum(axis=0) / denom
+        from ..solver.multigrid import deflation_alpha
+
+        alpha = deflation_alpha(sctx.row_sums, rhs2)
         b_eff = rhs2 - alpha[None, :] * sctx.row_sums[:, None]
     else:
         b_eff = rhs2

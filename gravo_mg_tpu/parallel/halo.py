@@ -538,12 +538,9 @@ class HaloContext:
         n, pad0 = self.n, self.ndev * self.nloc[0]
         d = rhs2.shape[1]
 
-        denom = float(ctx.row_sums.sum())
-        scale = float(np.abs(ctx.lhs_csr.diagonal()).mean())
-        if abs(denom) > 1e-12 * scale * n:
-            alpha = rhs2.sum(axis=0) / denom          # (d,)
-        else:
-            alpha = np.zeros(d)
+        from ..solver.multigrid import deflation_alpha
+
+        alpha = deflation_alpha(ctx.row_sums, rhs2)   # (d,)
         b_eff = rhs2 - alpha[None, :] * ctx.row_sums[:, None]
 
         # Residual denominators from the ORIGINAL rhs, host-side f64

@@ -209,6 +209,34 @@ def fused_solve(
     return x, iters, res, trace
 
 
+def deflation_alpha(row_sums: np.ndarray, rhs2: np.ndarray) -> np.ndarray:
+    """Exact rank-1 constant-mode deflation coefficients (f64, (d,)).
+
+    Deflate iff the row-sum vector is SIGN-COHERENT: ``|sum(row_sums)| >
+    0.1 * sum(|row_sums|)``.  A genuine near-null regularization
+    (``eta * M @ 1``, all-positive entries) passes with ratio ~1 at ANY
+    mesh scale, while pure assembly roundoff (random signs, ratio
+    ~1/sqrt(n)) is rejected — dividing by it would produce astronomically
+    wrong alphas.
+
+    History: the previous gate compared |denom| against an absolute
+    ``1e-12 * mean|diag| * n`` cutoff, which silently DISABLED deflation
+    on area-normalized meshes (denom = eta * total_area shrinks with the
+    normalization while the matrix scale does not).  With deflation off
+    but the near-singular coarse handling on, the constant component of
+    the solution is unreachable — the Chebyshev smoother preserves it
+    (p(0) = 1) and the coarse nullspace projection actively removes it —
+    so every hierarchy stalled at ~1e-3 relative residual on the
+    comparison suite's normalized >=262k tori (round-5 tables, first
+    run).  tests/test_deflation.py covers the scaled-mesh regression.
+    """
+    denom = float(row_sums.sum())
+    abs_sum = float(np.abs(row_sums).sum())
+    if abs_sum > 0.0 and abs(denom) > 0.1 * abs_sum:
+        return np.asarray(rhs2.sum(axis=0) / denom, dtype=np.float64)
+    return np.zeros(rhs2.shape[1])
+
+
 def galerkin_chain_scipy(lhs_csr, U_csr_list) -> list:
     """Host Galerkin chain ``Abar[k+1] = U_k^T Abar[k] U_k`` in f64.
 
@@ -831,13 +859,7 @@ class MultigridSolveContext:
         rhs = np.asarray(rhs, dtype=np.float64)
         squeeze = rhs.ndim == 1
         rhs2 = rhs[:, None] if squeeze else rhs
-        denom = float(self.row_sums.sum())
-        n = rhs2.shape[0]
-        scale = float(np.abs(self.lhs_csr.diagonal()).mean())
-        if abs(denom) > 1e-12 * scale * n:
-            alpha = rhs2.sum(axis=0) / denom  # (d,) f64
-        else:
-            alpha = np.zeros(rhs2.shape[1])
+        alpha = deflation_alpha(self.row_sums, rhs2)  # (d,) f64
         # ONE compute-dtype upload of the raw rhs; the exact f64 deflation
         # ``b = rhs - alpha * (A @ 1)`` runs on device against the f64
         # row_sums copy made at setup.  Precision note (ADVICE r4): the

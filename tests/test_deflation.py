@@ -79,3 +79,45 @@ def test_fused_matches_traced_poisson(sphere_mesh):
     assert it_t == it_f
     assert abs(res_t - res_f) < 1e-6
     assert np.allclose(x_t, x_f, rtol=1e-4, atol=1e-4 * np.abs(x_t).max())
+
+
+def test_deflation_survives_mesh_rescaling(sphere_mesh):
+    """Regression (round-5 comparison suite): on area-normalized / tiny
+    meshes, ``denom = eta * total_area`` fell below the old absolute
+    deflation gate, silently disabling deflation while the coarse
+    nullspace projection stayed on — the constant solution component
+    became unreachable and every hierarchy stalled at ~1e-3.  The gate
+    is now scale-free (sign-coherence of the row sums), so a mesh scaled
+    by 1e-3 must converge identically."""
+    S, M = sphere_mesh["S"], sphere_mesh["M"]
+    # s chosen so denom = eta*area*s^2 falls below the OLD absolute gate
+    # (1e-12 * mean|diag| * n ~ 1.3e-8 here) while the deflated system
+    # stays within f32's intrinsic accuracy (alpha grows 1/s^2; far
+    # smaller scales need the dtype=f64 path).
+    s = 0.03
+    V2 = sphere_mesh["V"] * s
+    S2 = S.copy()                 # cotan Laplacian is scale-invariant
+    M2 = (M * (s * s)).tocsr()    # mass scales with area
+    lhs = (1e-6 * M2 + S2).tocsr()
+    rng = np.random.default_rng(5)
+    rhs = (M2 @ rng.standard_normal((S.shape[0], 1)))[:, 0]
+    solver = MultigridSolver(
+        V2, sphere_mesh["neigh"], M2, lower_bound=150, max_iter=30,
+    )
+    x = solver.solve(lhs, rhs)
+    assert solver.solver_timing["iterations"] < 25
+    assert solver.residual(lhs, rhs, x) <= 1e-4
+
+
+def test_deflation_alpha_rejects_roundoff_rowsums():
+    """Sign-incoherent (roundoff-noise) row sums must NOT deflate —
+    dividing by their near-cancelling sum would produce huge alphas."""
+    from gravo_mg_tpu.solver.multigrid import deflation_alpha
+
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(10000) * 1e-16
+    b = rng.standard_normal((10000, 2))
+    assert np.all(deflation_alpha(noise, b) == 0.0)
+    genuine = np.full(10000, 1e-12)   # tiny but sign-coherent
+    a = deflation_alpha(genuine, b)
+    np.testing.assert_allclose(a, b.sum(axis=0) / genuine.sum())
