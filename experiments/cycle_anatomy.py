@@ -70,7 +70,9 @@ def main():
     b = jnp.asarray(rhs, ctx.dtype)
     x0 = jnp.zeros_like(b)
 
-    def marginal(name, body, k_lo=2, k_hi=10, reps=5):
+    def marginal(name, body, k_lo=2, k_hi=6, reps=5):
+        # k_hi capped at 6: a 10x-unrolled 1M cycle chain exceeded the
+        # relay's remote-compile request size (HTTP 413).
         """Marginal ms of one `body` application inside a jitted chain."""
         from functools import partial
 
