@@ -15,6 +15,16 @@ jitted program, differencing two K's to cancel dispatch/sync):
   * no-smooth cycle variant (pre=post=0) marginal.
 
 Usage: python experiments/cycle_anatomy.py [--nu 1024]
+
+Results (round 5, v5e):
+  * hierarchy truncation A/B (--skip-marginals --lb-compare 4000):
+    lower_bound=4000 (coarse 2157, MXU inverse) runs 12.2 ms/cycle vs
+    11.5 for the default lower_bound=1000 (coarse 282) — truncating the
+    deepest levels does NOT pay; the tiny levels are not the per-cycle
+    overhead.  Default stays at reference parity (1000).
+  * the full marginal decomposition needs ~6 fresh 1M chain compiles
+    (minutes each through the relay); run it on directly-attached
+    hardware.
 """
 
 import argparse
@@ -38,6 +48,9 @@ def main():
     ap.add_argument("--lb-compare", type=int, nargs="*", default=None,
                     help="additionally solve with these lower_bound "
                          "values (hierarchy truncation A/B)")
+    ap.add_argument("--skip-marginals", action="store_true",
+                    help="only run the lb A/B (each 1M chain variant "
+                         "costs minutes of relay compile)")
     args = ap.parse_args()
 
     import jax
@@ -96,7 +109,30 @@ def main():
         log(f"  {name:<28s} {ms:8.3f} ms")
         return ms
 
+    def warm_solves(tag, c2):
+        best, iters = float("inf"), 1
+        for i in range(4):
+            _, iters, res, _ = c2.solve(
+                rhs, tol=1e-4, criteria=2, max_iter=100, mode="fused"
+            )
+            cyc = c2.timing["cycles"] / 1e3
+            cw = c2.timing.pop("compile_wait", 0)
+            if i:
+                best = min(best, cyc)
+            log(f"[{tag}] solve {i}: cycles {cyc:.4f}s iters={iters} "
+                f"res={res:.2e} compile_wait={cw:.0f}ms")
+        log(f"[{tag}] best warm {best:.4f}s ({best/iters*1e3:.1f} ms/cycle)")
+
     lvl0 = levels[0]
+    if args.skip_marginals:
+        warm_solves("lb=default", ctx)
+        for lb in args.lb_compare or ():
+            s2 = MultigridSolver(V, neigh, M, lower_bound=lb)
+            c2 = s2._context(lhs)
+            log(f"[lb={lb}] dof={s2.hierarchy.dof}")
+            warm_solves(f"lb={lb}", c2)
+        print("done")
+        return
     marginal("cycle (full)",
              lambda bb, xx: _cycle(cfg, levels, coarse, bb, xx, 0,
                                    cfg.cycle_type))
