@@ -768,7 +768,7 @@ class MultigridSolveContext:
         """
         from ..utils.warmup import _enabled
 
-        if not _enabled():
+        if not self.levels or not _enabled():
             return None
         key = (mode, cols, criteria, max_iter)
         if key in self._prepare_threads:
@@ -898,7 +898,7 @@ class MultigridSolveContext:
         else:
             x = jnp.zeros_like(b)
         cfg = self.cfg
-        A = self.levels[0].A
+        A = self.levels[0].A if self.levels else None
         convergence: list = []
         # The upload (and the device deflation riding on it) is per-solve
         # I/O, not iteration work: 'cycles' starts once operands are
@@ -909,7 +909,28 @@ class MultigridSolveContext:
         self.timing["solve_upload"] = (time.perf_counter() - t_up) * 1000
         cols = None if squeeze else rhs2.shape[1]
         self._join_prepare(mode, cols, criteria, max_iter)
-        if mode == "fused":
+        if cfg.num_levels == 0:
+            # Mesh already at/below lower_bound: the hierarchy has no
+            # levels and the "coarsest" operator IS the full system
+            # (galerkin_chain_scipy([]) == [A0]), so one refined inverse
+            # apply solves it directly — the reference's depth-0 case
+            # goes straight to its coarsest solver the same way
+            # (multigrid_solver.cpp:1401).  Exercised by
+            # tests/test_comparisons_smoke.py (642-vertex shape,
+            # default lower_bound=1000).
+            t0 = time.perf_counter()
+            x = _coarse_solve(self.coarse_op, b, cfg.coarse_null_project)
+            y64 = np.asarray(x, dtype=np.float64)
+            y2_ = y64[:, None] if squeeze else y64
+            out_ = y2_ + alpha[None, :]
+            res = self.residual(
+                rhs2[:, 0] if squeeze else rhs2,
+                out_[:, 0] if squeeze else out_, criteria=criteria,
+            )
+            elapsed = (time.perf_counter() - t0) * 1000
+            iters = 1
+            convergence = [(elapsed, res)]
+        elif mode == "fused":
             t0 = time.perf_counter()
             x, iters, res, trace = fused_solve(
                 cfg, self.levels, self.coarse_op, self.M, self.Minv_diag,
